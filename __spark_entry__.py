@@ -1,38 +1,466 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship entity-resolution pipeline on sf0.001.
+`queries()` exposes one callable per implemented operator family from
+SURVEY.md §2; `oracle_sql()` gives the DuckDB-equivalent SQL for every
+SQL-expressible one (the ER pipeline itself — pandas-UDF extraction,
+MinHash-LSH, iterative connected components — is non-SQL-expressible and
+gets rows-only checks).
+
+Column-name parity rule: every computed column is aliased identically in
+the Spark code and the SQL text.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SF0001 = "/root/testdata/sf0.001"
 
 
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """ER pipeline over turns derived from sf0.001 documents: extract
+    mentions, block, score, cluster; return per-cluster rollup."""
+    from session_graph_spark.plans.pipeline import resolve
+    from session_graph_spark.sources.testdata import documents_as_turns
+
+    turns = documents_as_turns(spark, SF0001)
+    res = resolve(spark, turns)
+    return (
+        res.mention_clusters.groupBy("cluster_id")
+        .agg(F.count("*").alias("n_mentions"),
+             F.countDistinct("conv_id").alias("n_convs"))
+        .orderBy(F.desc("n_mentions"), F.asc("cluster_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# helpers shared by the query callables
+# ---------------------------------------------------------------------------
+def _docs(spark: SparkSession, sf: str) -> DataFrame:
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+def _tokens(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        _docs(spark, sf)
+        .select("doc_id", "source", "lang", F.explode(F.split("text", " ")).alias("token"))
+        .where(F.length("token") >= 3)
+    )
+
+
+_TOK_SQL = (
+    "(SELECT doc_id, source, lang, token FROM "
+    "(SELECT doc_id, source, lang, unnest(string_split(text, ' ')) AS token "
+    "FROM documents) WHERE len(token) >= 3)"
+)
+
+
+def _events(spark: SparkSession, sf: str) -> DataFrame:
+    return spark.read.parquet(f"{sf}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+def q_hub_entities(spark, sf):
+    """A5 / SPARQL template 10: top-20 tokens by distinct-doc degree."""
+    return (
+        _tokens(spark, sf).groupBy("token")
+        .agg(F.countDistinct("doc_id").alias("degree"))
+        .orderBy(F.desc("degree"), F.asc("token")).limit(20)
+    )
+
+
+def q_cooccurrence(spark, sf):
+    """A6 / Q8: token pairs co-occurring in the same document, top-20."""
+    t = _tokens(spark, sf).select("doc_id", "token").distinct()
+    a = t.select("doc_id", F.col("token").alias("token_a"))
+    b = t.select("doc_id", F.col("token").alias("token_b"))
+    return (
+        a.join(b, "doc_id").where(F.col("token_a") < F.col("token_b"))
+        .groupBy("token_a", "token_b").agg(F.count("*").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("token_a"), F.asc("token_b")).limit(20)
+    )
+
+
+def q_cross_source_overlap(spark, sf):
+    """A8 / Q10: tokens seen in more than one source."""
+    return (
+        _tokens(spark, sf).groupBy("token")
+        .agg(F.countDistinct("source").alias("n_sources"))
+        .where(F.col("n_sources") > 1)
+        .orderBy(F.desc("n_sources"), F.asc("token")).limit(20)
+    )
+
+
+def q_min_sessions_filter(spark, sf):
+    """P7: frequency pruning — tokens in >= 2 distinct docs."""
+    return (
+        _tokens(spark, sf).groupBy("token")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .orderBy(F.asc("token"))
+    )
+
+
+def q_platform_counts(spark, sf):
+    """A7 / Q9+Q11: per-source document and char counts."""
+    return (
+        _docs(spark, sf).groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("source")
+    )
+
+
+def q_lang_stats(spark, sf):
+    """A11 analog: per-language doc count + mean length."""
+    return (
+        _docs(spark, sf).groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.round(F.avg("n_chars"), 4).alias("avg_chars"))
+        .orderBy("lang")
+    )
+
+
+def q_token_count(spark, sf):
+    """Text analysis: whitespace token count per document."""
+    return _docs(spark, sf).select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+
+
+def q_quality_score(spark, sf):
+    """Text analysis: stopword ratio + mean token length per doc."""
+    t = _docs(spark, sf).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    return (
+        t.groupBy("doc_id").agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(F.length("token")), 4).alias("avg_token_len"),
+            F.round(
+                F.sum(F.when(F.col("token").isin("the", "a"), 1).otherwise(0))
+                / F.count("*"), 4,
+            ).alias("stopword_ratio"),
+        )
+    )
+
+
+def q_fingerprint(spark, sf):
+    """N6: deterministic document fingerprint (md5 of 64-char prefix)."""
+    return _docs(spark, sf).select(
+        "doc_id", F.md5(F.substring("text", 1, 64)).alias("fp")
+    )
+
+
+def q_exact_dedup(spark, sf):
+    """Dedup (exact): hash-groupBy full text; canonical = min doc_id."""
+    return (
+        _docs(spark, sf)
+        .groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("canonical_doc"))
+    )
+
+
+def q_ngram_bucket_dedup(spark, sf):
+    """Dedup (near, bucketed): docs sharing an 8-token prefix shingle."""
+    d = _docs(spark, sf).select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 8))).alias("shingle"),
+    )
+    return (
+        d.groupBy("shingle")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("canonical_doc"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def q_turn_ordering(spark, sf):
+    """W1: stable per-user event ordering (row_number), first 3 each."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        _events(spark, sf)
+        .select("user_id", "event_id", (F.row_number().over(w) - 1).alias("turn_idx"))
+        .where(F.col("turn_idx") < 3)
+    )
+
+
+def q_prev_event(spark, sf):
+    """J2/W4: previous-event chaining via lag."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        _events(spark, sf)
+        .select("user_id", "event_id", "event_type",
+                F.lag("event_type").over(w).alias("prev_type"))
+        .where(F.col("prev_type").isNotNull())
+    )
+
+
+def q_session_bounds(spark, sf):
+    """W2: first/last timestamp + count per user."""
+    return (
+        _events(spark, sf).groupBy("user_id")
+        .agg(F.min("ts").alias("created"), F.max("ts").alias("modified"),
+             F.count("*").alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+def q_sessionization(spark, sf):
+    """ST analog: 30-minute-gap sessionization; sessions per user."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = _events(spark, sf).withColumn("prev_ts", F.lag("ts").over(w))
+    e = e.withColumn(
+        "new_sess",
+        F.when(
+            F.col("prev_ts").isNull()
+            | ((F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")) > 1800),
+            1,
+        ).otherwise(0),
+    )
+    return (
+        e.groupBy("user_id").agg(F.sum("new_sess").alias("n_sessions"))
+        .orderBy("user_id")
+    )
+
+
+def q_event_type_rollup(spark, sf):
+    """A10 analog: per-event-type counts + value sum."""
+    return (
+        _events(spark, sf).groupBy("event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 3).alias("total_value"))
+        .orderBy("event_type")
+    )
+
+
+def q_top_customers(spark, sf):
+    """J-family relational check: broadcast join + agg + top-k."""
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+             F.count("*").alias("n_orders"))
+        .orderBy(F.desc("revenue"), F.asc("c_name")).limit(10)
+    )
+
+
+def q_pricing_summary(spark, sf):
+    """TPC-H Q1-shaped partial-agg check over lineitem."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").alias("sum_qty"),
+             F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+             F.count("*").alias("n_items"))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_ann_topk(spark, sf):
+    """Similarity search: brute-force cosine top-10 per query vector
+    (query set = vec_id < 5), computed JVM-side with zip_with/aggregate."""
+    e = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    q = e.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv")).where(
+        F.col("query_id") < 5
+    )
+
+    def dot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
+    j = q.crossJoin(e).where(F.col("vec_id") != F.col("query_id"))
+    j = j.withColumn(
+        "cosine",
+        dot(F.col("qv"), F.col("v"))
+        / (F.sqrt(dot(F.col("qv"), F.col("qv"))) * F.sqrt(dot(F.col("v"), F.col("v")))),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "vec_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def q_embedding_label_counts(spark, sf):
+    """Embeddings table sanity: per-label vector counts."""
+    return (
+        spark.read.parquet(f"{sf}/embeddings.parquet")
+        .groupBy("label").agg(F.count("*").alias("n_vecs"))
+        .orderBy("label")
+    )
+
+
+# --- rows-only (non-SQL-expressible: pandas-UDF extraction, LSH, iterative CC)
+def q_er_clusters(spark, sf):
+    """Full ER pipeline over turns derived from documents; returns the
+    (label, cluster_id) assignment."""
+    from session_graph_spark.plans.pipeline import resolve
+    from session_graph_spark.sources.testdata import documents_as_turns
+
+    res = resolve(spark, documents_as_turns(spark, sf))
+    return res.clusters.orderBy("label")
+
+
+def q_er_mentions(spark, sf):
+    """Deterministic mention extraction (F1 + L1 filter + cap 10/turn)."""
+    from session_graph_spark.plans.pipeline import mentions_from_turns, prepare_turns
+    from session_graph_spark.sources.testdata import documents_as_turns
+
+    m = mentions_from_turns(prepare_turns(documents_as_turns(spark, sf)))
+    return m.select("conv_id", "turn_idx", "norm_label", "pos").orderBy(
+        "conv_id", "turn_idx", "pos"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "hub_entities": q_hub_entities,
+        "cooccurrence": q_cooccurrence,
+        "cross_source_overlap": q_cross_source_overlap,
+        "min_sessions_filter": q_min_sessions_filter,
+        "platform_counts": q_platform_counts,
+        "lang_stats": q_lang_stats,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "fingerprint": q_fingerprint,
+        "exact_dedup": q_exact_dedup,
+        "ngram_bucket_dedup": q_ngram_bucket_dedup,
+        "turn_ordering": q_turn_ordering,
+        "prev_event": q_prev_event,
+        "session_bounds": q_session_bounds,
+        "sessionization": q_sessionization,
+        "event_type_rollup": q_event_type_rollup,
+        "top_customers": q_top_customers,
+        "pricing_summary": q_pricing_summary,
+        "ann_topk": q_ann_topk,
+        "embedding_label_counts": q_embedding_label_counts,
+        "er_clusters": q_er_clusters,
+        "er_mentions": q_er_mentions,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "hub_entities": f"""
+            SELECT token, count(DISTINCT doc_id) AS degree
+            FROM {_TOK_SQL} GROUP BY token
+            ORDER BY degree DESC, token LIMIT 20""",
+        "cooccurrence": f"""
+            WITH t AS (SELECT DISTINCT doc_id, token FROM {_TOK_SQL})
+            SELECT a.token AS token_a, b.token AS token_b, count(*) AS n_docs
+            FROM t a JOIN t b USING (doc_id)
+            WHERE a.token < b.token
+            GROUP BY 1, 2 ORDER BY n_docs DESC, token_a, token_b LIMIT 20""",
+        "cross_source_overlap": f"""
+            SELECT token, count(DISTINCT source) AS n_sources
+            FROM {_TOK_SQL} GROUP BY token HAVING n_sources > 1
+            ORDER BY n_sources DESC, token LIMIT 20""",
+        "min_sessions_filter": f"""
+            SELECT token, count(DISTINCT doc_id) AS n_docs
+            FROM {_TOK_SQL} GROUP BY token HAVING n_docs >= 2
+            ORDER BY token""",
+        "platform_counts": """
+            SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars
+            FROM documents GROUP BY source ORDER BY source""",
+        "lang_stats": """
+            SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
+            FROM documents GROUP BY lang ORDER BY lang""",
+        "token_count": """
+            SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+            FROM documents""",
+        "quality_score": """
+            WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                       FROM documents)
+            SELECT doc_id, count(*) AS n_tokens,
+                   round(avg(len(token)), 4) AS avg_token_len,
+                   round(sum(CASE WHEN token IN ('the','a') THEN 1 ELSE 0 END)
+                         * 1.0 / count(*), 4) AS stopword_ratio
+            FROM t GROUP BY doc_id""",
+        "fingerprint": """
+            SELECT doc_id, md5(substring(text, 1, 64)) AS fp FROM documents""",
+        "exact_dedup": """
+            SELECT md5(text) AS text_hash, count(*) AS n_dups,
+                   min(doc_id) AS canonical_doc
+            FROM documents GROUP BY 1""",
+        "ngram_bucket_dedup": """
+            WITH d AS (SELECT doc_id,
+                       md5(array_to_string(string_split(text,' ')[1:8], ' ')) AS shingle
+                       FROM documents)
+            SELECT shingle, count(*) AS n_docs, min(doc_id) AS canonical_doc
+            FROM d GROUP BY shingle HAVING count(*) > 1""",
+        "turn_ordering": """
+            SELECT user_id, event_id, turn_idx FROM (
+                SELECT user_id, event_id,
+                       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+                       AS turn_idx
+                FROM events) WHERE turn_idx < 3""",
+        "prev_event": """
+            SELECT user_id, event_id, event_type, prev_type FROM (
+                SELECT user_id, event_id, event_type,
+                       lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS prev_type
+                FROM events) WHERE prev_type IS NOT NULL""",
+        "session_bounds": """
+            SELECT user_id, min(ts) AS created, max(ts) AS modified,
+                   count(*) AS n_events
+            FROM events GROUP BY user_id ORDER BY user_id""",
+        "sessionization": """
+            WITH g AS (
+                SELECT user_id,
+                       CASE WHEN prev_ts IS NULL
+                                 OR date_diff('second', prev_ts, ts) > 1800
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM (SELECT user_id, ts,
+                             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             AS prev_ts
+                      FROM events))
+            SELECT user_id, sum(new_sess) AS n_sessions
+            FROM g GROUP BY user_id ORDER BY user_id""",
+        "event_type_rollup": """
+            SELECT event_type, count(*) AS n_events,
+                   round(sum(value), 3) AS total_value
+            FROM events GROUP BY event_type ORDER BY event_type""",
+        "top_customers": """
+            SELECT c_name, round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_name ORDER BY revenue DESC, c_name LIMIT 10""",
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_price,
+                   count(*) AS n_items
+            FROM lineitem WHERE l_shipdate <= '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus""",
+        "ann_topk": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+                 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+                 j AS (SELECT query_id, vec_id,
+                              list_cosine_similarity(qv, v) AS cos
+                       FROM q CROSS JOIN e WHERE vec_id != query_id),
+                 r AS (SELECT query_id, vec_id, cos,
+                              row_number() OVER (PARTITION BY query_id
+                                                 ORDER BY cos DESC, vec_id) AS rank
+                       FROM j)
+            SELECT query_id, vec_id, rank, round(cos, 6) AS cosine
+            FROM r WHERE rank <= 10""",
+        "embedding_label_counts": """
+            SELECT label, count(*) AS n_vecs FROM embeddings
+            GROUP BY label ORDER BY label""",
+        # er_clusters / er_mentions: non-SQL-expressible (pandas-UDF
+        # extraction, MinHash-LSH, iterative CC) -> rows-only check
+    }

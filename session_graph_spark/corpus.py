@@ -1,0 +1,277 @@
+"""Deterministic synthetic transcript corpus (SURVEY.md §7 M0, FIXTURES.md §1).
+
+Generates the canonical `turns` table — (conv_id, turn_idx, role, text, tool,
+ts) plus provenance columns (platform, source_file) — emulating the five
+platform styles the reference parses (Claude Code / ChatGPT / DeepSeek /
+Grok / Warp), with:
+
+- planted entity mentions: every canonical entity has surface-form variants
+  (alias forms like k8s/kubernetes plus typo forms like kubernets) each
+  planted in >= `min_plants` distinct conversations so the min-sessions
+  frequency filter keeps them;
+- Zipfian canonical-entity frequency -> hot-entity skew (reference hub
+  nodes, README.md:65);
+- noise tokens every L1/L2 filter group must reject (filenames, hex colors,
+  CLI flags, ICD codes, snake_case ids, versions, px dims, npm scopes, ...);
+- short (<30 char) turns that the min-length filter must skip and >2000
+  char turns that exercise the truncation path;
+- duplicated conversations under /subagents/ paths that must be dropped.
+
+Also emits the ground truth used by the F1 gate: variant -> canonical
+mapping and labeled same-block surface pairs (FIXTURES.md §4).
+
+Everything is seeded (`random.Random(seed)`); same args -> byte-identical
+corpus.
+"""
+
+from __future__ import annotations
+
+import random
+from datetime import datetime, timedelta, timezone
+
+import pandas as pd
+
+# canonical entity -> surface-form variants. The FIRST variant is the
+# primary form. Variants include alias-dictionary forms (resolved by the
+# broadcast alias join) and deliberate typos (resolved only via
+# MinHash-LSH blocking + pairwise scoring >= 0.7).
+ENTITY_VARIANTS: dict[str, list[str]] = {
+    "kubernetes": ["kubernetes", "k8s", "K8s", "kube", "kubernets"],
+    "postgresql": ["postgresql", "postgres", "postgresq"],
+    "javascript": ["javascript", "js", "JavaScript"],
+    "typescript": ["typescript", "ts", "typescripts"],
+    "python": ["python", "Python", "pyhton"],
+    "react": ["react", "reactjs", "react.js"],
+    "fastapi": ["fastapi", "fast api", "FastAPI"],
+    "docker": ["docker", "Docker", "dockr"],
+    "apache spark": ["apache spark", "spark", "pyspark"],
+    "node.js": ["node.js", "nodejs", "node"],
+    "mongodb": ["mongodb", "mongo"],
+    "redis": ["redis"],
+    "rabbitmq": ["rabbitmq", "rabbit mq"],
+    "tensorflow": ["tensorflow", "tensorflw"],
+    "pytorch": ["pytorch", "torch"],
+    "scikit-learn": ["scikit-learn", "sklearn", "scikit learn"],
+    "elasticsearch": ["elasticsearch", "elasticsearh"],
+    "graphql": ["graphql", "graphqls"],
+    "terraform": ["terraform", "terafform"],
+    "jenkins": ["jenkins"],
+    "grafana": ["grafana", "graffana"],
+    "prometheus": ["prometheus", "prometheos"],
+    "nginx": ["nginx"],
+    "sqlalchemy": ["sqlalchemy", "sql alchemy"],
+    "pydantic": ["pydantic", "pydantics"],
+    "next.js": ["next.js", "nextjs"],
+    "vue.js": ["vue.js", "vuejs", "vue"],
+    "apache kafka": ["apache kafka", "kafka"],
+    "apache airflow": ["apache airflow", "airflow"],
+    "apache iceberg": ["apache iceberg", "iceberg"],
+    "machine learning": ["machine learning", "ml"],
+    "large language model": ["large language model", "llm", "llms"],
+    "visual studio code": ["visual studio code", "vscode", "vs code"],
+    "go": ["go", "golang"],
+    "rust": ["rust"],
+    "java": ["java"],
+    "kotlin": ["kotlin", "kotlyn"],
+    "ansible": ["ansible", "ansibel"],
+    "webpack": ["webpack", "webpck"],
+    "tailwind": ["tailwind", "tailwnd"],
+}
+
+# confusable cross-entity pairs: must NOT co-cluster (score < 0.7). These
+# become the labeled negative pairs.
+NEGATIVE_PAIRS: list[tuple[str, str]] = [
+    ("java", "javascript"),
+    ("python", "pytorch"),
+    ("react", "redis"),
+    ("go", "graphql"),
+    ("terraform", "tensorflow"),
+    ("grafana", "graphql"),
+    ("kotlin", "kubernetes"),
+    ("rust", "redis"),
+    ("nginx", "next.js"),
+    ("ansible", "apache spark"),
+]
+
+# noise the L1/L2 filters must reject — one exemplar per rule group
+NOISE_TOKENS: list[str] = [
+    "config.json", "#8776f6", "--force", "j458", "anthropic_api_key",
+    "5.0.0", "280px", "@radix-ui/react-dialog", "192.168.0.1", "500ms",
+    "a1b2c3d4", "src/main/app.py", "100%", "candidates[0]",
+    "express.json()", "1184x864", "key=value", "*.py", ".env", "true",
+    "null", "3/4", "7f9ef80", "42",
+]
+
+PLATFORMS = ["claude-code", "chatgpt", "deepseek", "grok", "warp"]
+TOOLS = [None, None, None, "Bash", "Edit", "Read", "Write", "Grep"]
+
+# assistant prose templates; {e} slots take entity surface forms, {n} noise.
+# Template words chosen to avoid edit-distance-confusable overlap with
+# planted entities.
+_ASSISTANT_TEMPLATES = [
+    "I refactored the ingestion path so {e0} talks to {e1} directly, and moved the {n0} handling out of the worker.",
+    "The deployment failed because {e0} could not reach {e1}; check the manifest under {n0} before retrying with {e2}.",
+    "Switched the storage layer from {e0} to {e1}. Benchmarks show the {e2} consumer keeps up even with {n0} enabled.",
+    "Added integration coverage: {e0} fixtures now exercise the {e1} adapter, and the {n0} case is skipped on {e2}.",
+    "Root cause: the {e0} client pinned an old protocol. Upgrading it and re-running against {e1} fixed the timeouts near {n0}.",
+    "I wired {e0} metrics into {e1} so the oncall dashboard shows queue depth; the alert rule references {n0} thresholds.",
+    "Migration plan: dual-write from {e0} into {e1}, backfill with {e2}, then cut reads over once parity holds on {n0}.",
+    "The schema registry rejects the new field; {e0} consumers must upgrade before {e1} producers emit it, see {n0}.",
+]
+_USER_TEMPLATES = [
+    "Can you migrate the service off {e0} and onto {e1}?",
+    "Why is the {e0} job slow after the {n0} change?",
+    "Please add tests for the {e0} integration.",
+    "How do we monitor {e0} from {e1}?",
+]
+_SHORT_TURNS = ["ok", "thanks", "yes do it", "lgtm", "retry", "hm"]
+
+
+def _zipf_weights(n: int, s: float = 1.1) -> list[float]:
+    return [1.0 / (i + 1) ** s for i in range(n)]
+
+
+def generate_turns_pdf(
+    n_convs: int = 120,
+    seed: int = 42,
+    min_plants: int = 3,
+    subagent_dup_every: int = 10,
+    long_turn_every: int = 17,
+) -> pd.DataFrame:
+    """Deterministic turns table as pandas (small scales); see
+    `generate_turns` for the Spark-side variant."""
+    rng = random.Random(seed)
+    canonicals = list(ENTITY_VARIANTS)
+    weights = _zipf_weights(len(canonicals))
+
+    # --- schedule variant plantings: every variant in >= min_plants convs ---
+    slots: list[list[str]] = [[] for _ in range(n_convs)]
+    conv_order = list(range(n_convs))
+    rng.shuffle(conv_order)
+    k = 0
+    for canon in canonicals:
+        for variant in ENTITY_VARIANTS[canon]:
+            for _ in range(min_plants):
+                slots[conv_order[k % n_convs]].append(variant)
+                k += 1
+    # Zipfian extra occurrences of primary forms -> hot-entity skew
+    for _ in range(n_convs * 4):
+        canon = rng.choices(canonicals, weights=weights, k=1)[0]
+        slots[rng.randrange(n_convs)].append(ENTITY_VARIANTS[canon][0])
+
+    base_ts = datetime(2026, 1, 5, 8, 0, 0, tzinfo=timezone.utc)
+    rows: list[dict] = []
+
+    for ci in range(n_convs):
+        conv_id = f"conv-{ci:05d}"
+        platform = PLATFORMS[ci % len(PLATFORMS)]
+        project = f"proj{ci % 7}"
+        source_file = f"/projects/{project}/{platform}/session-{conv_id}.jsonl"
+        planted = slots[ci] or [ENTITY_VARIANTS[canonicals[ci % len(canonicals)]][0]]
+        rng.shuffle(planted)
+        n_turns = rng.randint(4, min(40, 4 + 2 * len(planted) + 6))
+        conv_ts = base_ts + timedelta(hours=ci)
+        pi = 0  # planted cursor
+
+        for ti in range(n_turns):
+            role = "user" if ti % 2 == 0 else "assistant"
+            ts = conv_ts + timedelta(seconds=30 * ti)
+            tool = rng.choice(TOOLS) if role == "assistant" else None
+            if role == "assistant" and rng.random() < 0.08:
+                text = rng.choice(_SHORT_TURNS)  # < 30 chars: must be skipped
+            else:
+                templates = _ASSISTANT_TEMPLATES if role == "assistant" else _USER_TEMPLATES
+                tpl = rng.choice(templates)
+                n_slots = tpl.count("{e")
+                ents = []
+                for _ in range(n_slots):
+                    # scheduled plantings go ONLY into assistant turns —
+                    # extraction is assistant-only (P4), so a planting in a
+                    # user turn would silently vanish
+                    if role == "assistant" and pi < len(planted):
+                        ents.append(planted[pi])
+                        pi += 1
+                    else:
+                        canon = rng.choices(canonicals, weights=weights, k=1)[0]
+                        ents.append(ENTITY_VARIANTS[canon][0])
+                noise = rng.choice(NOISE_TOKENS)
+                fmt = {f"e{i}": e for i, e in enumerate(ents)}
+                fmt["n0"] = noise
+                text = tpl.format(**fmt)
+                if role == "assistant" and (ci * 41 + ti) % long_turn_every == 0:
+                    text = text + " " + ("The fix also touches the retry budget. " * 60)
+            rows.append(
+                dict(conv_id=conv_id, turn_idx=ti, role=role, text=text, tool=tool,
+                     ts=ts, platform=platform, source_file=source_file)
+            )
+        # leftover planted entities get appended as extra assistant turns
+        while pi < len(planted):
+            take = planted[pi : pi + 2]
+            pi += 2
+            e1 = take[0]
+            e2 = take[1] if len(take) > 1 else ENTITY_VARIANTS[canonicals[0]][0]
+            ti = len([r for r in rows if r["conv_id"] == conv_id])
+            rows.append(
+                dict(conv_id=conv_id, turn_idx=ti, role="assistant",
+                     text=f"Follow-up: the {e1} rollout also needs the {e2} sidecar config reviewed before merge.",
+                     tool=None, ts=conv_ts + timedelta(seconds=30 * ti),
+                     platform=platform, source_file=source_file)
+            )
+
+    pdf = pd.DataFrame(rows)
+
+    # subagent duplicates: copies that the P9 filter must drop
+    dups = pdf[pdf["conv_id"].isin({f"conv-{i:05d}" for i in range(0, n_convs, subagent_dup_every)})].copy()
+    dups["source_file"] = dups["source_file"].str.replace("/projects/", "/projects/subagents/", regex=False)
+    dups["conv_id"] = dups["conv_id"] + "-sub"
+    out = pd.concat([pdf, dups], ignore_index=True)
+    out["turn_idx"] = out["turn_idx"].astype("int32")
+    return out
+
+
+def generate_turns(spark, n_convs: int = 120, seed: int = 42, **kw):
+    """Spark DataFrame variant with the canonical input_hint schema."""
+    pdf = generate_turns_pdf(n_convs=n_convs, seed=seed, **kw)
+    df = spark.createDataFrame(pdf)
+    return df.select(
+        "conv_id",
+        df.turn_idx.cast("int").alias("turn_idx"),
+        "role", "text", "tool",
+        df.ts.alias("ts"),
+        "platform", "source_file",
+    )
+
+
+# --------------------------------------------------------------------------
+# Ground truth for the F1 gate
+# --------------------------------------------------------------------------
+def ground_truth_pdf() -> pd.DataFrame:
+    """variant surface form (normalized, as the pipeline normalizes it)
+    -> canonical entity."""
+    rows = []
+    for canon, variants in ENTITY_VARIANTS.items():
+        for v in variants:
+            rows.append(dict(surface=v.strip().lower(), canonical=canon))
+    return pd.DataFrame(rows).drop_duplicates("surface").reset_index(drop=True)
+
+
+def labeled_pairs_pdf() -> pd.DataFrame:
+    """Labeled surface-form pairs (FIXTURES.md §4): positives = variants of
+    the same canonical; negatives = confusable cross-entity pairs. Pairs are
+    normalized-lowercase and deduped with a < b ordering."""
+    rows = []
+    for canon, variants in ENTITY_VARIANTS.items():
+        vs = sorted({v.strip().lower() for v in variants})
+        for i in range(len(vs)):
+            for j in range(i + 1, len(vs)):
+                rows.append(dict(surface_a=vs[i], surface_b=vs[j], block_key=canon, is_match=True))
+    for a, b in NEGATIVE_PAIRS:
+        pa = ENTITY_VARIANTS[a][0].lower()
+        pb = ENTITY_VARIANTS[b][0].lower()
+        lo, hi = sorted([pa, pb])
+        rows.append(dict(surface_a=lo, surface_b=hi, block_key=f"{a}|{b}", is_match=False))
+        # variant-level negatives too
+        for va in ENTITY_VARIANTS[a][1:2]:
+            lo, hi = sorted([va.lower(), pb])
+            rows.append(dict(surface_a=lo, surface_b=hi, block_key=f"{a}|{b}", is_match=False))
+    return pd.DataFrame(rows).drop_duplicates(["surface_a", "surface_b"]).reset_index(drop=True)

@@ -1,0 +1,172 @@
+"""Two-level entity garbage filters (SURVEY.md §2.2, P5/P6).
+
+The reference applies ~13 regex/rule groups per string, row-at-a-time
+(L1 validity at extraction: triple_extraction.py:109-258; L2 linkability
+before the expensive linking stage: link_entities.py:80-255). Here both
+levels are vectorized pandas kernels over whole Arrow batches (pandas
+`.str` ops with module-level precompiled patterns), exposed as
+`pandas_udf(BooleanType())` for use in DataFrame `.filter()`.
+
+Rule order matters and is preserved: empty/1-char and stopwords reject
+first, then the whitelist bypasses every remaining rule.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType
+
+from session_graph_spark.data import STOPWORDS, TWO_CHAR_WHITELIST, WHITELIST
+
+_FILE_EXTENSIONS = (
+    r"ts|tsx|js|jsx|py|json|yaml|yml|css|html|md|sql|sh|env|db|sqlite|txt|"
+    r"png|csv|jsonl|xml|toml|lock|cfg|ini|log|ttl|rdf|sparql|ipynb|whl|gz|"
+    r"tar|zip|jpg|jpeg|gif|svg|wasm|map|d\.ts|mjs|cjs|pyc|appimage|dmg|exe|npz|rq"
+)
+
+# ---- L1 (validity-at-extraction) patterns ---------------------------------
+_L1 = {
+    "filename": re.compile(rf"^[\w@./-][\w./-]*\.(?:{_FILE_EXTENSIONS})$", re.I),
+    "icd_short": re.compile(r"^[a-z]\d{2,}(\.\d+)?$", re.I),
+    "icd_underscore": re.compile(r"^[a-z]+_\d{3}_\d{3}$", re.I),
+    "proto_code": re.compile(r"^[a-z]+_\d+$", re.I),
+    "snake3": re.compile(r"^[a-z][a-z0-9]*(_[a-z0-9]+){2,}$"),
+    "num_prefix": re.compile(r"^\d+\s"),
+    "version": re.compile(r"^\d+\.\d+"),
+    "px": re.compile(r"^\d+px"),
+    "pure_num": re.compile(r"^\d+$"),
+    "ip": re.compile(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$"),
+    "duration": re.compile(
+        r"^\d+\s*(seconds?|minutes?|hours?|days?|ms|s|m|h|kb|mb|gb|tb)\b", re.I
+    ),
+    "hexhash": re.compile(r"^[0-9a-f]{6,}$", re.I),
+    "quantity": re.compile(r"^\d+\s+\w+s$"),
+    "ordinal": re.compile(r"^\d+(st|nd|rd|th)\b", re.I),
+    "fraction": re.compile(r"^\d+/\d+"),
+    "css_dim": re.compile(r"\d+(?:px|vh|vw|em|rem|pt|%)\b", re.I),
+    "brackets": re.compile(r"[\[\]]"),
+    "parens": re.compile(r"[()]"),
+}
+
+# ---- L2 (linkability) extra patterns ---------------------------------------
+_L2 = {
+    "file_ext": re.compile(rf"^[\w./-]+\.(?:{_FILE_EXTENSIONS})$", re.I),
+    "special_start": re.compile(r"^[#@$*!~.:]"),
+    "cli_flag": re.compile(r"^--"),
+    "num_prefix": _L1["num_prefix"],
+    "version": re.compile(r"^\d+\.\d"),
+    "brackets": _L1["brackets"],
+    "parens": _L1["parens"],
+    "npm_scope": re.compile(r"^@.+/"),
+    "css_dim": re.compile(r"\d+(?:px|vh|vw|em|rem|pt|%)\b", re.I),
+    "percent": re.compile(r"\d+%"),
+    "path2": re.compile(r"(?:^|[^a-zA-Z])[a-zA-Z0-9_./-]+/[a-zA-Z0-9_./-]+/[a-zA-Z0-9_./-]+"),
+    "path_simple": re.compile(r"^[a-zA-Z0-9_./-]+/[a-zA-Z0-9_./-]+$"),
+    "medical": re.compile(r"^[a-z]\d{2,}", re.I),
+    "medical2": _L1["icd_underscore"],
+    "snake3": _L1["snake3"],
+    "proto_code": _L1["proto_code"],
+    "dims": re.compile(r"^\d+x\d+"),
+}
+
+_SPECIAL_FIRST = ("#", "@", "$", "*", "!", "~", ".", ":", "-")
+
+
+def is_valid_entity_pd(s: pd.Series) -> pd.Series:
+    """Vectorized L1 validity filter. Input: raw (already lowercased or
+    mixed-case) mention strings; output: boolean keep-mask."""
+    s = s.fillna("")
+    n = s.str.len()
+    base_reject = (n <= 1) | s.isin(STOPWORDS)
+    white = s.isin(WHITELIST)
+
+    rej = pd.Series(False, index=s.index)
+    rej |= s.str[0].isin(_SPECIAL_FIRST).fillna(False)
+    rej |= s.str.startswith("/").fillna(False) | s.str.contains("\\\\", regex=True)
+    for key in (
+        "filename", "icd_short", "icd_underscore", "proto_code", "snake3",
+        "num_prefix", "version", "px", "pure_num", "ip", "duration",
+        "hexhash", "quantity", "ordinal", "fraction",
+    ):
+        rej |= s.str.match(_L1[key]).fillna(False)
+    rej |= s.str.contains(_L1["css_dim"]).fillna(False)
+    rej |= s.str.contains("%", regex=False)
+    rej |= s.str.contains(_L1["brackets"]).fillna(False)
+    rej |= s.str.contains(_L1["parens"]).fillna(False)
+    rej |= n == 2
+    rej |= s.str.split().str.len().fillna(0) > 3
+    return (~base_reject) & (white | ~rej)
+
+
+def is_linkable_entity_pd(s: pd.Series) -> pd.Series:
+    """Vectorized L2 linkability filter (pre-pairwise-scoring). Catches what
+    slipped past L1 (configs with '=', quoted strings, globs, NxM dims,
+    multi-segment paths, npm scopes)."""
+    s = s.fillna("").str.strip()
+    low = s.str.lower()
+    n = s.str.len()
+    empty = n == 0
+    white = low.isin(WHITELIST)
+
+    rej = pd.Series(False, index=s.index)
+    rej |= low.str.match(_L2["file_ext"]).fillna(False)
+    rej |= s.str.match(_L2["special_start"]).fillna(False)
+    rej |= s.str.match(_L2["cli_flag"]).fillna(False)
+    rej |= s.str.match(_L2["num_prefix"]).fillna(False)
+    rej |= s.str.match(_L2["version"]).fillna(False)
+    rej |= (n == 2) & low.str.isalpha().fillna(False) & ~low.isin(TWO_CHAR_WHITELIST)
+    rej |= n == 1
+    rej |= s.str.contains(_L2["brackets"]).fillna(False)
+    rej |= s.str.contains(_L2["parens"]).fillna(False)
+    rej |= s.str.match(_L2["npm_scope"]).fillna(False)
+    rej |= s.str.contains(_L2["css_dim"]).fillna(False)
+    rej |= s.str.contains(_L2["percent"]).fillna(False)
+    rej |= s.str.contains(_L2["path2"]).fillna(False)
+    rej |= s.str.match(_L2["path_simple"]).fillna(False)
+    rej |= (
+        (n <= 6)
+        & low.str.match(_L2["medical"]).fillna(False)
+        & ~low.str.isalpha().fillna(True)
+    )
+    rej |= low.str.match(_L2["medical2"]).fillna(False)
+    rej |= low.str.match(_L2["snake3"]).fillna(False)
+    rej |= low.str.match(_L2["proto_code"]).fillna(False)
+    rej |= low.str.startswith(".").fillna(False)
+    rej |= s.str.contains("*", regex=False)
+    rej |= s.str.replace(".", "", regex=False).str.replace("-", "", regex=False).str.isdigit().fillna(False)
+    rej |= s.str.contains("=", regex=False) & (s.str.split().str.len() <= 2)
+    rej |= (n <= 2) & ~s.str[0].str.isalnum().fillna(True)
+    rej |= s.str.startswith("'").fillna(False) | s.str.startswith('"').fillna(False)
+    rej |= s.str[0].isin(["%", "&"]).fillna(False) & (s.str.split().str.len() <= 2)
+    rej |= s.str.match(_L2["dims"]).fillna(False)
+    return (~empty) & (white | ~rej)
+
+
+# ---- Spark-facing pandas UDFs ----------------------------------------------
+@F.pandas_udf(BooleanType())
+def is_valid_entity(s: pd.Series) -> pd.Series:  # pragma: no cover (runs on executors)
+    return is_valid_entity_pd(s)
+
+
+@F.pandas_udf(BooleanType())
+def is_linkable_entity(s: pd.Series) -> pd.Series:  # pragma: no cover
+    return is_linkable_entity_pd(s)
+
+
+def min_length_filter(col: str = "text", min_chars: int = 30) -> Column:
+    """P3: skip texts shorter than 30 chars (triple_extraction.py:539-540)."""
+    return F.length(F.trim(F.col(col))) >= min_chars
+
+
+def assistant_only(col: str = "role") -> Column:
+    """P4: extraction runs only on assistant turns (jsonl_to_rdf.py:211)."""
+    return F.col(col) == "assistant"
+
+
+def not_subagent(col: str = "source_file") -> Column:
+    """P9: drop transcripts under /subagents/ (bulk_process.py:31-33)."""
+    return ~F.coalesce(F.col(col), F.lit("")).contains("/subagents/")

@@ -1,0 +1,142 @@
+"""Batched string-similarity kernels (SURVEY.md §2.10 F2).
+
+The reference's match decision is an LLM/Wikidata confidence ladder
+(link_entities.py:374-400, 517-545; threshold 0.7 at :57). Our deterministic
+replacement scores each candidate label pair with a convex combination of
+Jaro-Winkler, Levenshtein ratio, and character-trigram Jaccard, computed
+over whole Arrow batches inside a pandas UDF (pair-level Python only inside
+the batch loop — strings are short mention labels, and scoring runs on
+DISTINCT label pairs, not mention occurrences, so batches are small).
+
+score = 0.45*jaro_winkler + 0.35*lev_ratio + 0.20*trigram_jaccard
+MATCH_THRESHOLD = 0.7 (same constant as the reference).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+MATCH_THRESHOLD = 0.7
+W_JARO_WINKLER = 0.45
+W_LEVENSHTEIN = 0.35
+W_TRIGRAM_JACCARD = 0.20
+
+
+def jaro(a: str, b: str) -> float:
+    if a == b:
+        return 1.0
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return 0.0
+    window = max(la, lb) // 2 - 1
+    if window < 0:
+        window = 0
+    match_a = [False] * la
+    match_b = [False] * lb
+    matches = 0
+    for i, ca in enumerate(a):
+        lo, hi = max(0, i - window), min(lb, i + window + 1)
+        for j in range(lo, hi):
+            if not match_b[j] and b[j] == ca:
+                match_a[i] = match_b[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    # transpositions: compare matched chars in order
+    bs = [b[j] for j in range(lb) if match_b[j]]
+    t = sum(1 for ca, cb in zip((a[i] for i in range(la) if match_a[i]), bs) if ca != cb)
+    t //= 2
+    m = float(matches)
+    return (m / la + m / lb + (m - t) / m) / 3.0
+
+
+def jaro_winkler(a: str, b: str, p: float = 0.1, max_prefix: int = 4) -> float:
+    j = jaro(a, b)
+    if j <= 0.7:
+        return j
+    prefix = 0
+    for ca, cb in zip(a, b):
+        if ca != cb or prefix >= max_prefix:
+            break
+        prefix += 1
+    return j + prefix * p * (1.0 - j)
+
+
+def levenshtein_ratio(a: str, b: str) -> float:
+    """1 - edit_distance / max(len). Banded DP, early-exit on equality."""
+    if a == b:
+        return 1.0
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return 0.0
+    if la < lb:
+        a, b, la, lb = b, a, lb, la
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        ca = a[i - 1]
+        for j in range(1, lb + 1):
+            cost = 0 if ca == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+        prev = cur
+    return 1.0 - prev[lb] / float(la)
+
+
+def _trigrams(s: str) -> set[str]:
+    padded = f"  {s} "  # pad so short strings still produce grams
+    return {padded[i : i + 3] for i in range(len(padded) - 2)}
+
+
+def trigram_jaccard(a: str, b: str) -> float:
+    ta, tb = _trigrams(a), _trigrams(b)
+    if not ta or not tb:
+        return 0.0
+    inter = len(ta & tb)
+    return inter / float(len(ta) + len(tb) - inter)
+
+
+def token_jaccard(a: str, b: str) -> float:
+    ta, tb = set(a.split()), set(b.split())
+    if not ta or not tb:
+        return 0.0
+    inter = len(ta & tb)
+    return inter / float(len(ta) + len(tb) - inter)
+
+
+def combined_score(a: str, b: str) -> float:
+    if a == b:
+        return 1.0
+    return (
+        W_JARO_WINKLER * jaro_winkler(a, b)
+        + W_LEVENSHTEIN * levenshtein_ratio(a, b)
+        + W_TRIGRAM_JACCARD * trigram_jaccard(a, b)
+    )
+
+
+# ---- batch kernels (operate on numpy object arrays) ------------------------
+def combined_score_batch(a: pd.Series, b: pd.Series) -> pd.Series:
+    av = a.fillna("").to_numpy(dtype=object)
+    bv = b.fillna("").to_numpy(dtype=object)
+    out = np.empty(len(av), dtype=np.float64)
+    for i in range(len(av)):
+        out[i] = combined_score(av[i], bv[i])
+    return pd.Series(out, index=a.index)
+
+
+@F.pandas_udf(DoubleType())
+def pair_score(a: pd.Series, b: pd.Series) -> pd.Series:  # pragma: no cover
+    return combined_score_batch(a, b)
+
+
+@F.pandas_udf(DoubleType())
+def token_jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:  # pragma: no cover
+    av = a.fillna("").to_numpy(dtype=object)
+    bv = b.fillna("").to_numpy(dtype=object)
+    out = np.empty(len(av), dtype=np.float64)
+    for i in range(len(av)):
+        out[i] = token_jaccard(av[i], bv[i])
+    return pd.Series(out, index=a.index)

@@ -1,0 +1,147 @@
+"""End-to-end entity-resolution pipeline (SURVEY.md §3.2 Spark lifecycle).
+
+turns -> mentions -> normalized labels -> blocking -> pairwise scoring ->
+connected components -> canonical clusters, with optional per-stage
+checkpointing and a decision cache for resume.
+
+Stage boundaries follow the reference's link_entities entry point:
+  P9 subagent filter, P3 min-length, P4 assistant-only
+  F1 deterministic extraction (+ L1 validity inside)
+  N2/N4 normalization + alias broadcast join
+  P6 L2 linkability filter
+  P7 min-sessions frequency filter (countDistinct conv_id >= 2)
+  M2 blocking (exact slug key + MinHash-LSH)
+  M3 scoring (Arrow-batched JW/Lev/trigram kernel, threshold 0.7)
+  M4 large-star/small-star connected components
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from session_graph_spark.data import alias_rows
+from session_graph_spark.functions import filters as Flt
+from session_graph_spark.functions.filters import is_linkable_entity
+from session_graph_spark.functions.normalize import apply_aliases, slug
+from session_graph_spark.functions.similarity import MATCH_THRESHOLD
+from session_graph_spark.operators.blocking import block_metrics, candidate_pairs
+from session_graph_spark.operators.cc import assign_clusters
+from session_graph_spark.operators.extract import extract_mentions
+from session_graph_spark.operators.scoring import match_edges, score_distribution, score_pairs
+from session_graph_spark.plans.checkpoint import StageStore, filter_unprocessed
+
+MIN_SESSIONS = 2  # reference --min-sessions default (link_entities.py:824-828)
+
+
+@dataclass
+class ResolutionResult:
+    mentions: DataFrame
+    labels: DataFrame          # distinct (canon_label, block_key, n_sessions)
+    pairs_scored: DataFrame    # (label_a, label_b, score)
+    edges: DataFrame           # matches >= threshold
+    clusters: DataFrame        # (label, cluster_id)
+    mention_clusters: DataFrame  # mentions + cluster_id
+    metrics: dict = field(default_factory=dict)
+
+
+def alias_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(alias_rows(), ["surface", "canonical"])
+
+
+def prepare_turns(turns: DataFrame) -> DataFrame:
+    """P9 + dedupe on the (conv_id, turn_idx) key (U2)."""
+    t = turns
+    if "source_file" in t.columns:
+        t = t.where(Flt.not_subagent())
+    return t.dropDuplicates(["conv_id", "turn_idx"])
+
+
+def mentions_from_turns(turns: DataFrame) -> DataFrame:
+    """M1: extraction input filters + deterministic extraction."""
+    base = turns.where(Flt.assistant_only() & Flt.min_length_filter())
+    if "platform" not in base.columns:
+        base = base.withColumn("platform", F.lit("unknown"))
+    return extract_mentions(base)
+
+
+def normalized_labels(
+    mentions: DataFrame, aliases: DataFrame, min_sessions: int = MIN_SESSIONS
+) -> DataFrame:
+    """N4 alias join + P6 linkability + P7 frequency filter; output one row
+    per surviving distinct label with its block key and session count.
+
+    Curated alias canonicals bypass L2 (whitelist semantics): a canonical
+    like 'node.js' would otherwise hit the file-extension rule even though
+    it is a known-good dictionary entry."""
+    m = apply_aliases(mentions, aliases, label_col="norm_label", out_col="canon_label")
+    canonicals = [r[0] for r in aliases.select("canonical").distinct().collect()]
+    m = m.where(
+        is_linkable_entity(F.col("canon_label")) | F.col("canon_label").isin(canonicals)
+    )
+    counts = (
+        m.groupBy("canon_label")
+        .agg(F.countDistinct("conv_id").alias("n_sessions"))
+        .where(F.col("n_sessions") >= min_sessions)
+    )
+    return counts.withColumn("block_key", slug("canon_label"))
+
+
+def resolve(
+    spark: SparkSession,
+    turns: DataFrame,
+    aliases: DataFrame | None = None,
+    min_sessions: int = MIN_SESSIONS,
+    threshold: float = MATCH_THRESHOLD,
+    checkpoint_dir: str | None = None,
+    decisions: DataFrame | None = None,
+    processed_watermarks: DataFrame | None = None,
+    collect_metrics: bool = False,
+) -> ResolutionResult:
+    """Run the full ER pipeline. All heavy lifting is DataFrame ops; Python
+    only runs inside Arrow-batched UDFs (extraction, L2 filter, scoring)."""
+    aliases = aliases if aliases is not None else alias_df(spark)
+    store = StageStore(spark, checkpoint_dir)
+
+    turns = prepare_turns(turns)
+    turns = filter_unprocessed(turns, processed_watermarks)
+    turns_fp = store.fingerprint(turns.select("conv_id", "turn_idx", "text"))
+
+    mentions = store.stage("mentions", turns_fp, lambda: mentions_from_turns(turns))
+    labels = store.stage(
+        "labels", turns_fp, lambda: normalized_labels(mentions, aliases, min_sessions)
+    )
+    labels_fp = store.fingerprint(labels)
+    pairs = store.stage(
+        "pairs", labels_fp,
+        lambda: candidate_pairs(labels, label_col="canon_label", block_col="block_key"),
+    )
+    scored = store.stage(
+        "scored", labels_fp, lambda: score_pairs(pairs, decisions=decisions)
+    )
+    edges = match_edges(scored, threshold)
+    clusters = store.stage(
+        "clusters", labels_fp,
+        lambda: assign_clusters(labels, edges, label_col="canon_label"),
+    )
+
+    mention_clusters = (
+        apply_aliases(mentions, aliases, label_col="norm_label", out_col="canon_label")
+        .join(clusters, F.col("canon_label") == F.col("label"), "inner")
+        .drop("label")
+    )
+
+    metrics: dict = dict(store.manifest)
+    if collect_metrics:
+        metrics["block_sizes"] = [
+            r.asDict() for r in block_metrics(labels).orderBy(F.desc("n_labels")).limit(20).collect()
+        ]
+        metrics["score_histogram"] = [r.asDict() for r in score_distribution(scored).collect()]
+        metrics["n_clusters"] = clusters.select("cluster_id").distinct().count()
+
+    return ResolutionResult(
+        mentions=mentions, labels=labels, pairs_scored=scored, edges=edges,
+        clusters=clusters, mention_clusters=mention_clusters, metrics=metrics,
+    )

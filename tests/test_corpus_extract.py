@@ -1,0 +1,76 @@
+"""M0 corpus determinism + M1 extraction behavior + the per-row invariant."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from session_graph_spark import corpus
+from session_graph_spark.operators.extract import extract_mentions_batch
+from session_graph_spark.plans.pipeline import mentions_from_turns, prepare_turns
+
+
+def test_corpus_deterministic():
+    a = corpus.generate_turns_pdf(n_convs=30, seed=42)
+    b = corpus.generate_turns_pdf(n_convs=30, seed=42)
+    pd.testing.assert_frame_equal(a, b)
+    c = corpus.generate_turns_pdf(n_convs=30, seed=43)
+    assert not a["text"].equals(c["text"])
+
+
+def test_corpus_shape_and_noise():
+    pdf = corpus.generate_turns_pdf(n_convs=40)
+    assert set(pdf.columns) >= {"conv_id", "turn_idx", "role", "text", "tool", "ts",
+                                "platform", "source_file"}
+    assert (pdf.groupby("conv_id")["turn_idx"].apply(lambda s: (s.sort_values().values
+            == range(len(s))).all())).all(), "turn_idx must be dense 0..n-1"
+    assert pdf["source_file"].str.contains("/subagents/").any()
+    assert (pdf["text"].str.len() < 30).any()
+    assert (pdf["text"].str.len() > 2000).any()
+    assert set(pdf["platform"]) == set(corpus.PLATFORMS)
+
+
+def test_extract_batch_finds_planted_and_rejects_noise():
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c1", "c1", "c2"],
+            "turn_idx": [1, 3, 1],
+            "platform": ["claude-code"] * 3,
+            "ts": pd.to_datetime(["2026-01-01"] * 3),
+            "text": [
+                "I migrated the service from postgres to kubernetes using k8s "
+                "manifests under config.json with --force and 280px of #8776f6.",
+                "short",  # no planted mentions; generic tokens only
+                "The fast api layer wraps sqlalchemy; vs code debugs it via node.js.",
+            ],
+        }
+    )
+    out = extract_mentions_batch(pdf)
+    labels = set(out["norm_label"])
+    assert {"postgres", "kubernetes", "k8s"} <= labels
+    assert {"fast api", "sqlalchemy", "vs code", "node.js"} <= labels
+    assert not labels & {"config.json", "--force", "280px", "#8776f6"}
+    # cap: <= 10 mentions per turn, positions dense from 0
+    per_turn = out.groupby(["conv_id", "turn_idx"])["pos"]
+    assert (per_turn.max() <= 9).all()
+    assert (per_turn.min() == 0).all()
+    # mention_id is deterministic
+    out2 = extract_mentions_batch(pdf)
+    assert list(out["mention_id"]) == list(out2["mention_id"])
+
+
+def test_extraction_spark_roundtrip_and_invariant(spark):
+    turns = corpus.generate_turns(spark, n_convs=12)
+    # per-row invariant: per-turn text equality under stable ordering after
+    # a round trip through prepare_turns (the pipeline's turn table)
+    prepared = prepare_turns(turns)
+    src = turns.where(~F.col("source_file").contains("/subagents/")) \
+               .orderBy("conv_id", "turn_idx").select("conv_id", "turn_idx", "text")
+    rt = prepared.orderBy("conv_id", "turn_idx").select("conv_id", "turn_idx", "text")
+    assert [r.asDict() for r in src.collect()] == [r.asDict() for r in rt.collect()]
+
+    mentions = mentions_from_turns(prepared)
+    got = mentions.groupBy().agg(F.count("*"), F.countDistinct("norm_label")).collect()[0]
+    assert got[0] > 0 and got[1] > 10
+    # extraction only from assistant turns (P4): join back and check roles
+    joined = mentions.join(turns.select("conv_id", "turn_idx", "role"),
+                           ["conv_id", "turn_idx"])
+    assert joined.where(F.col("role") != "assistant").count() == 0

@@ -1,0 +1,82 @@
+"""Golden end-to-end: full ER pipeline on the synthetic corpus.
+
+Gates (BASELINE.json):
+- pairwise F1 >= 0.99 on labeled same-block surface pairs
+- alias variants and typo variants co-cluster; confusables do not
+- resume: re-running over a checkpoint dir reuses every stage
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from session_graph_spark import corpus
+from session_graph_spark.eval import pairwise_f1
+from session_graph_spark.plans.pipeline import alias_df, resolve
+
+
+@pytest.fixture(scope="module")
+def result(spark):
+    turns = corpus.generate_turns(spark, n_convs=120, seed=42)
+    return resolve(spark, turns, collect_metrics=True)
+
+
+def test_f1_gate(spark, result):
+    lp = spark.createDataFrame(corpus.labeled_pairs_pdf())
+    scores = pairwise_f1(result.clusters, lp, alias_df(spark))
+    assert scores.f1 >= 0.99, (
+        f"F1={scores.f1:.4f} p={scores.precision:.4f} r={scores.recall:.4f} "
+        f"tp={scores.tp} fp={scores.fp} fn={scores.fn}"
+    )
+
+
+def test_variants_cocluster(result):
+    cl = {r["label"]: r["cluster_id"] for r in result.clusters.collect()}
+    assert cl.get("kubernetes") == cl.get("kubernets")
+    assert cl.get("postgresql") == cl.get("postgresq")
+    assert cl.get("docker") == cl.get("dockr")
+    # confusables stay apart
+    assert cl.get("java") != cl.get("javascript")
+    assert cl.get("python") != cl.get("pytorch")
+
+
+def test_no_subagent_leakage(result):
+    assert result.mentions.where(F.col("conv_id").endswith("-sub")).count() == 0
+
+
+def test_min_sessions_filter(result):
+    assert result.labels.where(F.col("n_sessions") < 2).count() == 0
+
+
+def test_metrics_present(result):
+    assert result.metrics["n_clusters"] > 10
+    assert len(result.metrics["score_histogram"]) >= 1
+    assert result.metrics["mentions"]["rows"] > 0
+
+
+def test_resume_from_checkpoint(spark, tmp_path):
+    turns = corpus.generate_turns(spark, n_convs=25, seed=42)
+    ckpt = str(tmp_path / "run1")
+    r1 = resolve(spark, turns, checkpoint_dir=ckpt)
+    c1 = sorted(map(tuple, r1.clusters.collect()))
+    wall1 = {k: v["wall_sec"] for k, v in r1.metrics.items() if isinstance(v, dict) and "wall_sec" in v}
+
+    # second run over the same checkpoint dir: byte-identical clusters and
+    # every stage reused (input fingerprints unchanged)
+    r2 = resolve(spark, turns, checkpoint_dir=ckpt)
+    c2 = sorted(map(tuple, r2.clusters.collect()))
+    assert c1 == c2
+    wall2 = {k: v["wall_sec"] for k, v in r2.metrics.items() if isinstance(v, dict) and "wall_sec" in v}
+    assert wall1 == wall2, "stage wall times changed -> stages were recomputed"
+
+
+def test_watermark_skip(spark):
+    from session_graph_spark.plans.checkpoint import conversation_watermarks, filter_unprocessed
+
+    turns = corpus.generate_turns(spark, n_convs=8, seed=42)
+    wm = conversation_watermarks(turns)
+    # mark half the conversations processed
+    done = wm.limit(4)
+    remaining = filter_unprocessed(turns, done)
+    assert remaining.select("conv_id").distinct().count() == turns.select("conv_id").distinct().count() - 4
+    # all marked processed -> nothing left
+    assert filter_unprocessed(turns, wm).count() == 0
