@@ -304,6 +304,44 @@ def q_embedding_label_counts(spark, sf):
     )
 
 
+def q_minhash_dedup_groups(spark, sf):
+    """MinHash+LSH near-dup groups over documents (rows-only: pandas-UDF
+    signatures + iterative CC)."""
+    from session_graph_spark.operators.dedup import minhash_lsh_dedup
+
+    return minhash_lsh_dedup(_docs(spark, sf), threshold=0.8).orderBy("doc_id")
+
+
+def q_ann_lsh_topk(spark, sf):
+    """Hyperplane-LSH approximate top-k (rows-only; exact baseline is the
+    oracled ann_topk)."""
+    from session_graph_spark.operators.ann import lsh_topk
+
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return lsh_topk(e, q, k=10, n_planes=6, n_tables=6)
+
+
+def q_lang_id(spark, sf):
+    """Stopword-profile language ID over documents (rows-only: pandas UDF)."""
+    from session_graph_spark.functions.text import lang_id
+
+    return _docs(spark, sf).select(
+        "doc_id", lang_id(F.col("text")).alias("lang_pred")
+    ).orderBy("doc_id")
+
+
+def q_quality_features(spark, sf):
+    """Quality-scoring features over documents (rows-only)."""
+    from session_graph_spark.functions.text import quality_features
+
+    return quality_features(_docs(spark, sf)).select(
+        "doc_id", "n_tokens_q", "punct_ratio", "stopword_ratio_en", "quality_score"
+    ).orderBy("doc_id")
+
+
 # --- rows-only (non-SQL-expressible: pandas-UDF extraction, LSH, iterative CC)
 def q_er_clusters(spark, sf):
     """Full ER pipeline over turns derived from documents; returns the
@@ -350,6 +388,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_label_counts": q_embedding_label_counts,
         "er_clusters": q_er_clusters,
         "er_mentions": q_er_mentions,
+        "minhash_dedup_groups": q_minhash_dedup_groups,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "lang_id": q_lang_id,
+        "quality_features": q_quality_features,
     }
 
 

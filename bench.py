@@ -1,0 +1,112 @@
+"""Benchmark harness (M7). Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <float>, ...extras}
+
+Headline: the full ER pipeline (extract -> block -> score -> CC) over a
+seeded synthetic transcript corpus sized by the scale factor, reported as
+turns/sec. Also times the documents-derived ER run and representative
+query-layer/testdata queries.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS   (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.1
+
+    from session_graph_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as E
+    from session_graph_spark import corpus
+    from session_graph_spark.plans.pipeline import resolve
+    from session_graph_spark.sources.testdata import documents_as_turns
+
+    # --- materialize the synthetic corpus OUTSIDE the timed region --------
+    # fixed partition count so every parallelism level reads identical input
+    n_convs = max(300, int(450_000 * sf))
+    tmp = tempfile.mkdtemp(prefix="bench_turns_")
+    turns_path = os.path.join(tmp, "turns.parquet")
+    corpus.generate_turns_distributed(spark, n_convs=n_convs, seed=42,
+                                      partitions=64).write.mode(
+        "overwrite"
+    ).parquet(turns_path)
+    n_turns = spark.read.parquet(turns_path).count()
+    spark.range(1000).agg({"id": "sum"}).collect()  # warm codegen paths
+
+    # warm the Python UDF workers (one per core; first UDF stage otherwise
+    # pays a 32-way import storm inside the timed region — on a real
+    # cluster executors are long-lived and arrive warm)
+    def _noop(batches):
+        import session_graph_spark.operators.extract  # noqa: F401 (preload)
+        import session_graph_spark.operators.scoring  # noqa: F401
+        for b in batches:
+            yield b[["conv_id"]]
+
+    spark.read.parquet(turns_path).repartition(cpus * 2).mapInPandas(
+        _noop, "conv_id string"
+    ).count()
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    # headline: full ER pipeline, turns/sec
+    def run_er():
+        t = spark.read.parquet(turns_path)
+        res = resolve(spark, t)
+        res.clusters.count()
+        res.mention_clusters.count()
+
+    timed("er_pipeline", run_er)
+
+    # ER over the documents-derived turns of this scale factor
+    timed("er_documents", lambda: resolve(spark, documents_as_turns(spark, sf_dir))
+          .mention_clusters.count())
+
+    # representative query-layer / testdata queries
+    for q in ["hub_entities", "cooccurrence", "ann_topk", "sessionization",
+              "pricing_summary", "quality_score"]:
+        fn = E.queries()[q]
+        timed(q, lambda fn=fn: fn(spark, sf_dir).collect())
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    total = round(sum(timings.values()), 3)
+    turns_per_sec = round(n_turns / timings["er_pipeline"], 1)
+    print(json.dumps({
+        "metric": "bench_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "er_turns": n_turns,
+        "er_turns_per_sec": turns_per_sec,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -243,6 +243,98 @@ def generate_turns(spark, n_convs: int = 120, seed: int = 42, **kw):
 
 
 # --------------------------------------------------------------------------
+# Distributed generator (bench scale): same corpus semantics, generated
+# per-conversation inside mapInPandas so 10^5-10^7 conversations never
+# touch the driver. Determinism: every conversation is seeded by
+# (seed, conv_index) and the variant-planting schedule is a pure function
+# of (variant, n_convs), so output is independent of partitioning.
+# --------------------------------------------------------------------------
+_ALL_VARIANTS: list[str] = [v for vs in ENTITY_VARIANTS.values() for v in vs]
+
+
+def _planted_for_conv(ci: int, n_convs: int, min_plants: int) -> list[str]:
+    import zlib
+
+    out = []
+    for v in _ALL_VARIANTS:
+        h = zlib.crc32(v.encode()) % n_convs
+        for j in range(min_plants):
+            if (h + j * 97) % n_convs == ci:
+                out.append(v)
+    return out
+
+
+def _conversation_rows(ci: int, n_convs: int, seed: int, min_plants: int,
+                       long_turn_every: int) -> list[dict]:
+    rng = random.Random((seed << 20) ^ ci)
+    canonicals = list(ENTITY_VARIANTS)
+    weights = _zipf_weights(len(canonicals))
+    conv_id = f"conv-{ci:07d}"
+    platform = PLATFORMS[ci % len(PLATFORMS)]
+    source_file = f"/projects/proj{ci % 7}/{platform}/session-{conv_id}.jsonl"
+    planted = _planted_for_conv(ci, n_convs, min_plants)
+    rng.shuffle(planted)
+    base = datetime(2026, 1, 5, 8, 0, 0, tzinfo=timezone.utc) + timedelta(minutes=ci)
+    n_turns = rng.randint(4, 24)
+    rows: list[dict] = []
+    pi = 0
+    for ti in range(n_turns):
+        role = "user" if ti % 2 == 0 else "assistant"
+        tool = rng.choice(TOOLS) if role == "assistant" else None
+        if role == "assistant" and rng.random() < 0.08:
+            text = rng.choice(_SHORT_TURNS)
+        else:
+            tpl = rng.choice(_ASSISTANT_TEMPLATES if role == "assistant" else _USER_TEMPLATES)
+            ents = []
+            for _ in range(tpl.count("{e")):
+                if role == "assistant" and pi < len(planted):
+                    ents.append(planted[pi]); pi += 1
+                else:
+                    canon = rng.choices(canonicals, weights=weights, k=1)[0]
+                    ents.append(ENTITY_VARIANTS[canon][0])
+            fmt = {f"e{i}": e for i, e in enumerate(ents)}
+            fmt["n0"] = rng.choice(NOISE_TOKENS)
+            text = tpl.format(**fmt)
+            if role == "assistant" and (ci * 41 + ti) % long_turn_every == 0:
+                text += " " + ("The fix also touches the retry budget. " * 60)
+        rows.append(dict(conv_id=conv_id, turn_idx=ti, role=role, text=text,
+                         tool=tool, ts=base + timedelta(seconds=30 * ti),
+                         platform=platform, source_file=source_file))
+    while pi < len(planted):
+        take = planted[pi:pi + 2]; pi += 2
+        e2 = take[1] if len(take) > 1 else ENTITY_VARIANTS["python"][0]
+        ti = len(rows)
+        rows.append(dict(conv_id=conv_id, turn_idx=ti, role="assistant",
+                         text=f"Follow-up: the {take[0]} rollout also needs the {e2} sidecar config reviewed before merge.",
+                         tool=None, ts=base + timedelta(seconds=30 * ti),
+                         platform=platform, source_file=source_file))
+    return rows
+
+
+def generate_turns_distributed(spark, n_convs: int, seed: int = 42,
+                               min_plants: int = 3, long_turn_every: int = 17,
+                               partitions: int | None = None):
+    """Spark-side corpus generation: spark.range over conversation indices,
+    each partition materializes its conversations in pandas."""
+    import pandas as _pd
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for ci in pdf["id"].tolist():
+                rows.extend(_conversation_rows(int(ci), n_convs, seed,
+                                               min_plants, long_turn_every))
+            out = _pd.DataFrame(rows)
+            out["turn_idx"] = out["turn_idx"].astype("int32")
+            yield out
+
+    parts = partitions or max(spark.sparkContext.defaultParallelism, 8)
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp, platform string, source_file string")
+    return spark.range(0, n_convs, 1, parts).mapInPandas(gen, schema=schema)
+
+
+# --------------------------------------------------------------------------
 # Ground truth for the F1 gate
 # --------------------------------------------------------------------------
 def ground_truth_pdf() -> pd.DataFrame:

@@ -71,19 +71,58 @@ def _fingerprint(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _driver_union_find(spark, edges: DataFrame) -> DataFrame:
+    """Small-graph fast path: collect edges, union-find on the driver,
+    broadcast the assignment back. Semantically identical to the
+    distributed loop (root = min label); property-tested against it."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges.collect():
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            lo, hi = sorted([ru, rv])
+            parent[hi] = lo
+    if not parent:
+        return spark.createDataFrame([], "label string, cluster_id string")
+    out = [(x, find(x)) for x in parent]
+    return spark.createDataFrame(out, ["label", "cluster_id"])
+
+
+# Below this edge count, collecting to the driver and union-finding beats
+# the iterative loop's fixed per-action overhead by ~10x. The distributed
+# loop is the scale path (distinct-label edge sets at 10^12 turns exceed
+# any driver); the threshold only moves the crossover, never the
+# semantics (same min-label root; property-tested against each other).
+DRIVER_CC_THRESHOLD = 200_000
+
+
 def connected_components(
-    edges: DataFrame, max_iterations: int = MAX_ITERATIONS
+    edges: DataFrame,
+    max_iterations: int = MAX_ITERATIONS,
+    driver_threshold: int = DRIVER_CC_THRESHOLD,
 ) -> DataFrame:
     """Edge list (u:string, v:string) -> assignment (label, cluster_id).
 
     cluster_id is the lexicographic minimum label of the component. Nodes
     appearing only as isolated self-edges map to themselves.
     """
-    e = _canonical(edges.select("u", "v")).localCheckpoint(eager=True)
+    # lazy localCheckpoint: the fingerprint action below materializes it,
+    # so each iteration costs exactly one Spark action
+    e = _canonical(edges.select("u", "v")).localCheckpoint(eager=False)
+    if driver_threshold and e.count() <= driver_threshold:
+        return _driver_union_find(edges.sparkSession, e)
     prev = (-1, 0)
     for _ in range(max_iterations):
         e = _large_star(e)
-        e = _small_star(e).localCheckpoint(eager=True)
+        e = _small_star(e).localCheckpoint(eager=False)
         cur = _fingerprint(e)
         if cur == prev:
             break

@@ -77,14 +77,16 @@ def normalized_labels(
     like 'node.js' would otherwise hit the file-extension rule even though
     it is a known-good dictionary entry."""
     m = apply_aliases(mentions, aliases, label_col="norm_label", out_col="canon_label")
-    canonicals = [r[0] for r in aliases.select("canonical").distinct().collect()]
-    m = m.where(
-        is_linkable_entity(F.col("canon_label")) | F.col("canon_label").isin(canonicals)
-    )
+    # aggregate BEFORE the L2 UDF: the filter is label-level semantics, so
+    # it runs on distinct labels (hundreds), not mention occurrences (10^9+)
     counts = (
         m.groupBy("canon_label")
         .agg(F.countDistinct("conv_id").alias("n_sessions"))
         .where(F.col("n_sessions") >= min_sessions)
+    )
+    canonicals = [r[0] for r in aliases.select("canonical").distinct().collect()]
+    counts = counts.where(
+        is_linkable_entity(F.col("canon_label")) | F.col("canon_label").isin(canonicals)
     )
     return counts.withColumn("block_key", slug("canon_label"))
 
@@ -103,29 +105,41 @@ def resolve(
     """Run the full ER pipeline. All heavy lifting is DataFrame ops; Python
     only runs inside Arrow-batched UDFs (extraction, L2 filter, scoring)."""
     aliases = aliases if aliases is not None else alias_df(spark)
-    store = StageStore(spark, checkpoint_dir)
 
     turns = prepare_turns(turns)
     turns = filter_unprocessed(turns, processed_watermarks)
-    turns_fp = store.fingerprint(turns.select("conv_id", "turn_idx", "text"))
 
-    mentions = store.stage("mentions", turns_fp, lambda: mentions_from_turns(turns))
-    labels = store.stage(
-        "labels", turns_fp, lambda: normalized_labels(mentions, aliases, min_sessions)
-    )
-    labels_fp = store.fingerprint(labels)
-    pairs = store.stage(
-        "pairs", labels_fp,
-        lambda: candidate_pairs(labels, label_col="canon_label", block_col="block_key"),
-    )
-    scored = store.stage(
-        "scored", labels_fp, lambda: score_pairs(pairs, decisions=decisions)
-    )
-    edges = match_edges(scored, threshold)
-    clusters = store.stage(
-        "clusters", labels_fp,
-        lambda: assign_clusters(labels, edges, label_col="canon_label"),
-    )
+    if checkpoint_dir is None:
+        # fast path: no per-stage materialization/counting — cache the
+        # DataFrames that feed multiple downstream consumers and let one
+        # lazy plan execute
+        store = StageStore(spark, None)
+        mentions = mentions_from_turns(turns).cache()
+        labels = normalized_labels(mentions, aliases, min_sessions).cache()
+        pairs = candidate_pairs(labels, label_col="canon_label", block_col="block_key")
+        scored = score_pairs(pairs, decisions=decisions).cache()
+        edges = match_edges(scored, threshold)
+        clusters = assign_clusters(labels, edges, label_col="canon_label").cache()
+    else:
+        store = StageStore(spark, checkpoint_dir)
+        turns_fp = store.fingerprint(turns.select("conv_id", "turn_idx", "text"))
+        mentions = store.stage("mentions", turns_fp, lambda: mentions_from_turns(turns))
+        labels = store.stage(
+            "labels", turns_fp, lambda: normalized_labels(mentions, aliases, min_sessions)
+        )
+        labels_fp = store.fingerprint(labels)
+        pairs = store.stage(
+            "pairs", labels_fp,
+            lambda: candidate_pairs(labels, label_col="canon_label", block_col="block_key"),
+        )
+        scored = store.stage(
+            "scored", labels_fp, lambda: score_pairs(pairs, decisions=decisions)
+        )
+        edges = match_edges(scored, threshold)
+        clusters = store.stage(
+            "clusters", labels_fp,
+            lambda: assign_clusters(labels, edges, label_col="canon_label"),
+        )
 
     mention_clusters = (
         apply_aliases(mentions, aliases, label_col="norm_label", out_col="canon_label")

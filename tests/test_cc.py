@@ -8,9 +8,14 @@ import pytest
 from session_graph_spark.operators.cc import assign_clusters, connected_components
 
 
-def _check(spark, edge_list):
+def _check(spark, edge_list, driver_threshold=0):
+    """driver_threshold=0 forces the distributed large/small-star loop;
+    a large value exercises the driver union-find fast path."""
     edges = spark.createDataFrame(edge_list or [("_", "_")], ["u", "v"])
-    got = {r["label"]: r["cluster_id"] for r in connected_components(edges).collect()}
+    got = {
+        r["label"]: r["cluster_id"]
+        for r in connected_components(edges, driver_threshold=driver_threshold).collect()
+    }
     g = nx.Graph()
     g.add_edges_from(edge_list)
     for comp in nx.connected_components(g):
@@ -35,7 +40,18 @@ def test_cc_random_graphs_vs_networkx(spark):
         edge_list = [
             tuple(rng.sample(nodes, 2)) for _ in range(rng.randint(20, 80))
         ]
-        _check(spark, edge_list)
+        _check(spark, edge_list)  # distributed loop
+
+
+def test_cc_driver_fast_path_matches_distributed(spark):
+    rng = random.Random(11)
+    nodes = [f"m{i:03d}" for i in range(40)]
+    edge_list = [tuple(rng.sample(nodes, 2)) for _ in range(50)]
+    _check(spark, edge_list, driver_threshold=10_000)  # union-find path
+    edges = spark.createDataFrame(edge_list, ["u", "v"])
+    a = sorted(map(tuple, connected_components(edges, driver_threshold=0).collect()))
+    b = sorted(map(tuple, connected_components(edges, driver_threshold=10_000).collect()))
+    assert a == b
 
 
 def test_assign_clusters_singletons(spark):

