@@ -321,7 +321,7 @@ def q_ann_lsh_topk(spark, sf):
     q = e.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    return lsh_topk(e, q, k=10, n_planes=6, n_tables=6)
+    return lsh_topk(e, q, k=10, n_planes=4, n_tables=8)
 
 
 def q_lang_id(spark, sf):

@@ -32,12 +32,17 @@ def main() -> None:
     # oversubscribe the 32-core box (N JVM task threads + N Python UDF
     # workers run concurrently per side)
     n = int(os.environ.get("SCALING_N", "4"))
+    reps = int(os.environ.get("SCALING_REPS", "2"))
     pairs = []
     for cpus in (n, 4 * n):
-        r = run(cpus, sf_dir)
+        # best-of-N: the sandbox VM shows ~2x noisy-neighbor variance on
+        # identical runs; min is the standard noise-resistant estimator
+        runs = [run(cpus, sf_dir) for _ in range(reps)]
+        r = min(runs, key=lambda x: x["queries"]["er_pipeline"])
         pairs.append(r)
-        print(f"local[{cpus}]: er_pipeline {r['queries']['er_pipeline']}s, "
-              f"{r['er_turns_per_sec']} turns/sec, total {r['value']}s")
+        all_t = [x["queries"]["er_pipeline"] for x in runs]
+        print(f"local[{cpus}]: er_pipeline best {r['queries']['er_pipeline']}s "
+              f"of {all_t}, {r['er_turns_per_sec']} turns/sec, total {r['value']}s")
     thr_n, thr_4n = pairs[0]["er_turns_per_sec"], pairs[1]["er_turns_per_sec"]
     eff = round((thr_4n / thr_n) / 4.0, 3)
     speedup = round(thr_4n / thr_n, 2)

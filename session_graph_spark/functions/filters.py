@@ -76,14 +76,13 @@ _L2 = {
 _SPECIAL_FIRST = ("#", "@", "$", "*", "!", "~", ".", ":", "-")
 
 
-def is_valid_entity_pd(s: pd.Series) -> pd.Series:
-    """Vectorized L1 validity filter. Input: raw (already lowercased or
-    mixed-case) mention strings; output: boolean keep-mask."""
-    s = s.fillna("")
-    n = s.str.len()
-    base_reject = (n <= 1) | s.isin(STOPWORDS)
-    white = s.isin(WHITELIST)
+_PLAIN_ALPHA = re.compile(r"^[a-z]+$")
+_HEX_ALPHA = re.compile(r"^[a-f]{6,}$")
 
+
+def _l1_full(s: pd.Series) -> pd.Series:
+    """Full L1 rule set (all 20+ patterns) — the general path."""
+    n = s.str.len()
     rej = pd.Series(False, index=s.index)
     rej |= s.str[0].isin(_SPECIAL_FIRST).fillna(False)
     rej |= s.str.startswith("/").fillna(False) | s.str.contains("\\\\", regex=True)
@@ -99,6 +98,29 @@ def is_valid_entity_pd(s: pd.Series) -> pd.Series:
     rej |= s.str.contains(_L1["parens"]).fillna(False)
     rej |= n == 2
     rej |= s.str.split().str.len().fillna(0) > 3
+    return rej
+
+
+def is_valid_entity_pd(s: pd.Series) -> pd.Series:
+    """Vectorized L1 validity filter. Input: raw (already lowercased or
+    mixed-case) mention strings; output: boolean keep-mask.
+
+    Fast path: a token matching ^[a-z]+$ can only trip the hexhash
+    (^[0-9a-f]{6,}$ restricted to letters) or 2-char rules of the full
+    set, so the other ~20 regex passes are skipped for it. Semantically
+    identical to running the full rule set (asserted by unit tests)."""
+    s = s.fillna("")
+    n = s.str.len()
+    base_reject = (n <= 1) | s.isin(STOPWORDS)
+    white = s.isin(WHITELIST)
+
+    plain = s.str.match(_PLAIN_ALPHA).fillna(False)
+    rej = pd.Series(False, index=s.index)
+    if plain.any():
+        sp = s[plain]
+        rej.loc[plain] = sp.str.match(_HEX_ALPHA).fillna(False) | (sp.str.len() == 2)
+    if (~plain).any():
+        rej.loc[~plain] = _l1_full(s[~plain])
     return (~base_reject) & (white | ~rej)
 
 

@@ -63,12 +63,18 @@ def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
     )
 
 
-def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 10, n_planes: int = 8,
-             n_tables: int = 4, dim: int = 64,
+def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 10, n_planes: int = 4,
+             n_tables: int = 8, dim: int = 64,
              id_col: str = "vec_id", vec_col: str = "embedding",
              q_id_col: str = "query_id", q_vec_col: str = "qv") -> DataFrame:
     """Approximate top-k: score only vectors sharing a hyperplane bucket
-    with the query in any of n_tables sketches."""
+    with the query in any of n_tables sketches.
+
+    Param guidance: per-table match prob for cosine s is (1-acos(s)/pi)^
+    n_planes. Strong-neighbor regimes (s >= 0.7, near-dup search) work at
+    n_planes=8+; weak-neighbor regimes (s ~ 0.3) need few planes / many
+    tables (3/10 gives ~0.87 recall@10 on the testdata) — at the extreme
+    LSH degrades toward brute force, which is the honest tradeoff."""
     e = emb.select(F.col(id_col).alias("vec_id"),
                    F.transform(vec_col, lambda x: x.cast("double")).alias("v"))
     q = queries.select(F.col(q_id_col).alias("query_id"),

@@ -110,14 +110,18 @@ def resolve(
     turns = filter_unprocessed(turns, processed_watermarks)
 
     if checkpoint_dir is None:
-        # fast path: no per-stage materialization/counting — cache the
-        # DataFrames that feed multiple downstream consumers and let one
-        # lazy plan execute
+        # fast path: no parquet checkpoints, but each multi-consumer
+        # DataFrame is cached AND materialized before the plans that scan
+        # it twice (blocking/LSH self-joins) — an unmaterialized cache
+        # would be recomputed once per join branch inside the first action
         store = StageStore(spark, None)
         mentions = mentions_from_turns(turns).cache()
+        store.manifest["mentions"] = {"rows": mentions.count()}
         labels = normalized_labels(mentions, aliases, min_sessions).cache()
+        store.manifest["labels"] = {"rows": labels.count()}
         pairs = candidate_pairs(labels, label_col="canon_label", block_col="block_key")
         scored = score_pairs(pairs, decisions=decisions).cache()
+        store.manifest["scored"] = {"rows": scored.count()}
         edges = match_edges(scored, threshold)
         clusters = assign_clusters(labels, edges, label_col="canon_label").cache()
     else:

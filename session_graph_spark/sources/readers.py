@@ -52,15 +52,19 @@ def read_claude_code_jsonl(spark: SparkSession, path: str) -> DataFrame:
     j = raw.withColumn("rec", F.from_json("value", _CLAUDE_SCHEMA))
     j = j.where(F.col("rec.type").isin("user", "assistant"))
     blocks = F.col("rec.message.content")
+    # bracket access, not attribute access: Column.name is a method and
+    # shadows struct-field resolution inside higher-order lambdas
     text_from_blocks = F.array_join(
-        F.transform(F.filter(blocks, lambda b: b.type == "text"), lambda b: b.text),
+        F.transform(F.filter(blocks, lambda b: b["type"] == "text"), lambda b: b["text"]),
         "\n",
     )
     # content union: when blocks failed to parse, the content was a plain
     # JSON string -> pull it straight out of the raw line
     text_plain = F.get_json_object("value", "$.message.content")
-    tool_col = F.element_at(
-        F.transform(F.filter(blocks, lambda b: b.type == "tool_use"), lambda b: b.name), 1
+    # try_element_at: ANSI mode makes element_at throw on empty arrays
+    tool_col = F.try_element_at(
+        F.transform(F.filter(blocks, lambda b: b["type"] == "tool_use"), lambda b: b["name"]),
+        F.lit(1),
     )
     w = Window.partitionBy("conv_id").orderBy("ts", "uuid")
     return (

@@ -66,8 +66,13 @@ class IncrementalRunner:
             )
         batch_turns = turns.join(F.broadcast(todo.select("conv_id")), "conv_id", "left_semi")
         res = resolve(self.spark, batch_turns)
-        out = res.mention_clusters.select("conv_id", "canon_label", "cluster_id")
-        # idempotent merge: overwrite this batch's conv partitions
+        # sever lineage BEFORE updating the watermark table: the returned
+        # DataFrame's plan must not re-read a parquet path this method is
+        # about to overwrite (the overwrite invalidates dependent caches
+        # and a later action would re-plan against the new watermarks)
+        out = res.mention_clusters.select(
+            "conv_id", "canon_label", "cluster_id"
+        ).localCheckpoint(eager=True)
         out.write.mode("append").parquet(self._clusters_path)
         new_wm = wm if prev is None else prev.unionByName(todo).dropDuplicates(["conv_id"])
         new_wm.write.mode("overwrite").parquet(self._wm_path + ".tmp")

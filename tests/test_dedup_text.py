@@ -39,9 +39,25 @@ def test_minhash_lsh_dedup(spark, docs):
     for i in range(5):
         assert g[1000 + i] == g[i], f"exact dup {i} not grouped"
         assert g[2000 + i] == g[i], f"near dup {i} not grouped"
-    # documents are distinct word-salads; unrelated docs stay apart
-    others = [g[r] for r in range(5, 20) if r in g]
-    assert len(set(others)) == len(others)
+
+    # oracle: true word-shingle Jaccard on the driver; clearly-similar
+    # pairs must co-group, clearly-dissimilar pairs must not. (The
+    # testdata itself plants near-dups, e.g. docs 8/12 at J=0.97.)
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+
+    def shingles(t, k=3):
+        w = t.lower().split()
+        return {" ".join(w[i:i + k]) for i in range(len(w) - k + 1)} or {t}
+
+    ids = [i for i in texts if i < 100]
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            sa, sb = shingles(texts[a]), shingles(texts[b])
+            j = len(sa & sb) / len(sa | sb)
+            if j >= 0.9:
+                assert g[a] == g[b], f"true near-dup ({a},{b}) J={j:.2f} split"
+            elif j <= 0.4:
+                assert g[a] != g[b], f"dissimilar ({a},{b}) J={j:.2f} merged"
 
 
 def test_simhash_dedup(spark, docs):
@@ -89,9 +105,11 @@ def test_embedding_dedup_and_ann(spark):
     )
     exact = brute_force_topk(emb, q, k=10).cache()
     assert exact.groupBy("query_id").count().collect()[0]["count"] == 10
-    approx = lsh_topk(emb, q, k=10, n_planes=6, n_tables=6)
+    # testdata neighbors are weak (cosine ~0.2-0.35), the regime where
+    # hyperplane LSH needs permissive params (few planes, many tables)
+    approx = lsh_topk(emb, q, k=10, n_planes=3, n_tables=10)
     rec = recall_at_k(approx, exact, k=10)
-    assert rec >= 0.5, f"LSH recall@10 too low: {rec}"
+    assert rec >= 0.7, f"LSH recall@10 too low: {rec}"
 
 
 def test_text_functions(spark):

@@ -94,6 +94,25 @@ def test_l2_accepts():
     assert not bad, f"L2 should accept: {bad}"
 
 
+def test_l1_fast_path_equals_full_rules():
+    # the ^[a-z]+$ fast path must decide identically to the full rule set
+    from session_graph_spark.functions.filters import _l1_full
+    import random
+    words = (L1_REJECT + L1_ACCEPT
+             + ["decade", "cafe", "deadbeef", "abcdef", "ab", "go", "xyz"]
+             + ["".join(random.Random(i).choices("abcdef", k=7)) for i in range(50)]
+             + ["".join(random.Random(i).choices("abcxyz", k=5)) for i in range(50)])
+    s = pd.Series([w for w in words if w])
+    from session_graph_spark.data import STOPWORDS, WHITELIST
+    n = s.str.len()
+    base_reject = (n <= 1) | s.isin(STOPWORDS)
+    white = s.isin(WHITELIST)
+    reference = (~base_reject) & (white | ~_l1_full(s))
+    got = is_valid_entity_pd(s)
+    diff = [w for w, a, b in zip(s, reference, got) if a != b]
+    assert not diff, f"fast path diverges on: {diff}"
+
+
 def test_whitelist_beats_every_rule():
     # 'go' (2 chars), 'ai' (2 chars), 'c1'-like shapes are rejected, but
     # whitelisted terms always pass both levels

@@ -16,7 +16,7 @@ def claude_file(tmp_path_factory):
         {"type": "assistant", "uuid": "a1", "parentUuid": "u1",
          "timestamp": "2026-01-05T08:00:30Z", "sessionId": "s1",
          "message": {"model": "m-1", "content": [
-             {"type": "text", "text": "I will use k8s manifests."},
+             {"type": "text", "text": "I will use k8s manifests for the deployment."},
              {"type": "tool_use", "id": "t1", "name": "Bash", "input": {"command": "kubectl apply"}},
              {"type": "thinking", "text": "secret thoughts"},
          ]}},
@@ -42,7 +42,7 @@ def test_read_claude_code(spark, claude_file):
     assert rows[0]["role"] == "user"
     assert rows[0]["text"] == "Please migrate the auth service to kubernetes"
     assert rows[1]["tool"] == "Bash"
-    assert rows[1]["text"] == "I will use k8s manifests."          # thinking dropped
+    assert rows[1]["text"] == "I will use k8s manifests for the deployment."  # thinking dropped
     assert rows[2]["text"] == "Done.\nThe postgres pod restarted."  # blocks joined
     assert rows[0]["conv_id"] == "s1" and rows[0]["platform"] == "claude-code"
 
