@@ -304,6 +304,22 @@ def q_embedding_label_counts(spark, sf):
     )
 
 
+def q_triple_hubs(spark, sf):
+    """A5 exact analog over the constructed knowledge-triple table
+    (rows-only: mention extraction is a pandas UDF)."""
+    from session_graph_spark.functions.normalize import apply_aliases
+    from session_graph_spark.operators.triples import build_triples, hub_by_triple_degree
+    from session_graph_spark.plans.pipeline import (alias_df, mentions_from_turns,
+                                                    prepare_turns)
+    from session_graph_spark.sources.testdata import documents_as_turns
+
+    turns = prepare_turns(documents_as_turns(spark, sf))
+    mentions = apply_aliases(mentions_from_turns(turns), alias_df(spark),
+                             "norm_label", "canon_label")
+    edges = build_triples(mentions, turns)["edges"]
+    return hub_by_triple_degree(edges, k=20)
+
+
 def q_minhash_dedup_groups(spark, sf):
     """MinHash+LSH near-dup groups over documents (rows-only: pandas-UDF
     signatures + iterative CC)."""
@@ -388,6 +404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_label_counts": q_embedding_label_counts,
         "er_clusters": q_er_clusters,
         "er_mentions": q_er_mentions,
+        "triple_hubs": q_triple_hubs,
         "minhash_dedup_groups": q_minhash_dedup_groups,
         "ann_lsh_topk": q_ann_lsh_topk,
         "lang_id": q_lang_id,

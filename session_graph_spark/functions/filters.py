@@ -168,6 +168,50 @@ def is_linkable_entity_pd(s: pd.Series) -> pd.Series:
     return (~empty) & (white | ~rej)
 
 
+# ---- JVM column-expression variant of L1 -----------------------------------
+def is_valid_entity_col(c: Column) -> Column:
+    """Pure-Column L1 validity filter — same decision as
+    `is_valid_entity_pd` (equivalence-tested), usable inside higher-order
+    array lambdas so extraction can stay in whole-stage codegen."""
+    n = F.length(c)
+    base_reject = (n <= 1) | c.isin(*sorted(STOPWORDS))
+    white = c.isin(*sorted(WHITELIST))
+    first = F.substring(c, 1, 1)
+    rej_full = first.isin(*_SPECIAL_FIRST)
+    rej_full = rej_full | c.startswith("/") | c.contains("\\")
+    for key in (
+        "filename", "icd_short", "icd_underscore", "proto_code", "snake3",
+        "num_prefix", "version", "px", "pure_num", "ip", "duration",
+        "hexhash", "quantity", "ordinal", "fraction",
+    ):
+        # .match anchors at the start; Java rlike is search -> anchor with \A
+        rej_full = rej_full | c.rlike(_to_java_prefix(_L1[key]))
+    rej_full = rej_full | c.rlike(_to_java_search(_L1["css_dim"]))
+    rej_full = rej_full | c.contains("%")
+    rej_full = rej_full | c.rlike(r"[\[\]]") | c.rlike(r"[()]")
+    rej_full = rej_full | (n == 2)
+    rej_full = rej_full | (F.size(F.split(c, " ")) > 3)
+    # plain-alpha fast path (same as the pandas kernel): a ^[a-z]+$ token
+    # can only trip the hexhash or 2-char rules; CASE WHEN makes codegen
+    # evaluate only the taken branch, skipping the ~20 rlikes above
+    plain = c.rlike(r"\A[a-z]+\Z")
+    rej = F.when(plain, c.rlike(r"\A[a-f]{6,}\Z") | (n == 2)).otherwise(rej_full)
+    return (~base_reject) & (white | ~rej)
+
+
+def _flags(pat: re.Pattern) -> str:
+    return "(?i)" if pat.flags & re.I else ""
+
+
+def _to_java_prefix(pat: re.Pattern) -> str:
+    """Python re.match(p) == Java regex search of \\A(?:p)."""
+    return _flags(pat) + r"\A(?:" + pat.pattern + ")"
+
+
+def _to_java_search(pat: re.Pattern) -> str:
+    return _flags(pat) + pat.pattern
+
+
 # ---- Spark-facing pandas UDFs ----------------------------------------------
 @F.pandas_udf(BooleanType())
 def is_valid_entity(s: pd.Series) -> pd.Series:  # pragma: no cover (runs on executors)

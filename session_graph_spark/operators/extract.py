@@ -70,22 +70,25 @@ def extract_mentions_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     residual = text.str.replace(_PHRASE_RE, " ", regex=True)
     tokens = residual.str.findall(_TOKEN_RE)
 
-    base = pdf[["conv_id", "turn_idx", "platform", "ts"]]
+    base = pdf[["conv_id", "turn_idx", "platform", "ts"]].copy()
     # phrase hits are known dictionary entries: they bypass L1 (whitelist
     # semantics — otherwise the filename rule would reject 'node.js');
-    # loose tokens go through the full L1 validity filter. Phrases come
-    # first so they win the per-turn cap.
-    ph = base.assign(mention=phrases, is_phrase=True).explode("mention", ignore_index=True)
-    tk = base.assign(mention=tokens, is_phrase=False).explode("mention", ignore_index=True)
-    out = pd.concat([ph, tk], ignore_index=True)
+    # loose tokens go through the full L1 validity filter. Phrases are
+    # prepended so they win the per-turn cap — a single explode keeps that
+    # order without a concat+sort over the exploded frame.
+    base["mention"] = phrases + tokens
+    base["n_ph"] = phrases.str.len()
+    out = base.explode("mention", ignore_index=False)
     out = out[out["mention"].notna()]
     if len(out) == 0:
-        return out.assign(norm_label=[], mention_id=[], pos=[]).drop(columns=["is_phrase"])
+        return (out.reset_index(drop=True)
+                .assign(norm_label=[], mention_id=[], pos=[])
+                .drop(columns=["n_ph"]))
+    out["is_phrase"] = out.groupby(level=0).cumcount() < out["n_ph"]
+    out = out.reset_index(drop=True)
 
     out["norm_label"] = _normalize_series(out["mention"].astype(str))
     out = out[out["is_phrase"] | is_valid_entity_pd(out["norm_label"])]
-    out = out.sort_values(["conv_id", "turn_idx", "is_phrase"],
-                          ascending=[True, True, False], kind="stable")
     # dedupe within turn (set semantics, U2) keeping first occurrence,
     # then cap at 10 (T1)
     out = out.drop_duplicates(["conv_id", "turn_idx", "norm_label"])
@@ -98,14 +101,16 @@ def extract_mentions_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     )
     out["pos"] = out["pos"].astype("int32")
     out["turn_idx"] = out["turn_idx"].astype("int32")
+    out = out.drop(columns=["n_ph", "is_phrase"])
     return out[["conv_id", "turn_idx", "platform", "ts", "mention",
                 "norm_label", "mention_id", "pos"]]
 
 
-def extract_mentions(turns: DataFrame) -> DataFrame:
-    """turns (post P3/P4/P9 filters) -> mentions DataFrame.
+def extract_mentions_pandas(turns: DataFrame) -> DataFrame:
+    """Arrow-batched pandas implementation (the UDTF-shaped F1 form).
 
-    Input must have columns conv_id, turn_idx, platform, ts, text.
+    Kept as the reference implementation; `extract_mentions_sql` is
+    equivalence-tested against it and is the default in the pipeline.
     """
     cols = ["conv_id", "turn_idx", "platform", "ts", "text"]
 
@@ -114,3 +119,62 @@ def extract_mentions(turns: DataFrame) -> DataFrame:
             yield extract_mentions_batch(pdf)
 
     return turns.select(*cols).mapInPandas(run, schema=MENTION_SCHEMA)
+
+
+def extract_mentions_sql(turns: DataFrame) -> DataFrame:
+    """Pure-JVM extraction: regexp_extract_all for the phrase gazetteer,
+    split for tokens, higher-order array ops for normalize/L1-filter/
+    first-occurrence-dedup/cap — all per-row inside whole-stage codegen,
+    zero shuffle, no Python workers. Emits mention = normalized label
+    (the pandas form keeps the raw surface; nothing downstream reads it).
+    """
+    from pyspark.sql import functions as F
+
+    from session_graph_spark.functions.filters import is_valid_entity_col
+
+    java_phrase_re = _PHRASE_RE.pattern  # lookarounds are valid Java regex
+    lower_text = F.lower(F.substring("text", 1, EXTRACT_INPUT_MAX_CHARS))
+
+    t = turns.select(
+        "conv_id", "turn_idx", "platform", "ts",
+        F.regexp_extract_all(lower_text, F.lit(java_phrase_re), 1).alias("ph"),
+        F.regexp_replace(lower_text, java_phrase_re, " ").alias("resid"),
+    )
+    toks = F.filter(F.split("resid", r"\s+"), lambda x: x != "")
+    cands = F.concat("ph", toks)
+    n_ph = F.size("ph")
+
+    def norm(x):
+        y = F.regexp_replace(F.trim(x), r"\s+", " ")
+        return F.regexp_replace(y, r"[.,;:!?]+$", "")
+
+    normed = F.transform(cands, norm)
+    kept = F.filter(
+        normed,
+        lambda x, i: (i < n_ph) | is_valid_entity_col(x),
+    )
+    deduped = F.slice(F.array_distinct(kept), 1, MAX_MENTIONS_PER_TURN)
+    out = t.select(
+        "conv_id", "turn_idx", "platform", "ts",
+        F.posexplode(deduped).alias("pos", "norm_label"),
+    )
+    return out.select(
+        "conv_id", "turn_idx", "platform", "ts",
+        F.col("norm_label").alias("mention"),
+        "norm_label",
+        F.concat_ws("|", "conv_id", "turn_idx", "pos").alias("mention_id"),
+        F.col("pos").cast("int").alias("pos"),
+    )
+
+
+def extract_mentions(turns: DataFrame, engine: str = "sql") -> DataFrame:
+    """turns (post P3/P4/P9 filters) -> mentions DataFrame.
+
+    Input must have columns conv_id, turn_idx, platform, ts, text.
+    engine='sql' (default): whole-stage-codegen column expressions.
+    engine='pandas': the Arrow-batched UDF form (same output modulo the
+    raw `mention` surface column; equivalence-tested).
+    """
+    if engine == "pandas":
+        return extract_mentions_pandas(turns)
+    return extract_mentions_sql(turns)

@@ -1,0 +1,120 @@
+"""Knowledge-triple construction (SURVEY.md §1.2, §2.3 N3/N6).
+
+The reference's LLM emits (subject, predicate, object) triples per
+assistant message, normalized into a closed 24-predicate vocabulary and
+stored twice: a direct entity->entity edge for traversal plus a reified
+KnowledgeTriple node with provenance (common.py:201-215; design decision
+README.md:567). The deterministic analog:
+
+- subject/object: consecutive mention pairs within a turn (the mention
+  extractor's occurrence order);
+- predicate: cue-word lookup in the turn text between/around the pair,
+  coerced into the vocabulary via the same stripped-key broadcast join as
+  normalize_predicates, falling back to relatedTo;
+- triple id: md5(subject|predicate|object|conv|turn)[:12] — the
+  reference's dedup-by-construction id (common.py:206-209);
+- dual storage: `edges` (s, p, o) + `reified` (+ triple_id, conv_id,
+  turn_idx, ts provenance columns).
+
+Cue detection is a JVM-side regexp over the turn text (no UDF): the cues
+are a small closed set derived from the predicate vocabulary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from session_graph_spark.functions.normalize import stable_id
+
+# cue word -> vocabulary predicate (a deterministic stand-in for the
+# LLM's predicate choice; unknown contexts fall back to relatedTo)
+CUE_PREDICATES: dict[str, str] = {
+    "uses": "uses", "using": "uses", "depends": "dependsOn",
+    "requires": "requires", "needs": "requires", "migrat": "alternativeTo",
+    "switch": "alternativeTo", "deploy": "deployedOn", "stores": "storesIn",
+    "integrat": "integratesWith", "wire": "integratesWith",
+    "configur": "configures", "extends": "extends", "implements": "implements",
+    "provides": "provides", "produces": "produces", "solves": "solves",
+    "built": "builtWith", "part of": "isPartOf", "talks to": "integratesWith",
+}
+_CUE_RE = "(" + "|".join(sorted(CUE_PREDICATES, key=len, reverse=True)) + ")"
+
+
+def build_triples(mentions: DataFrame, turns: DataFrame) -> dict[str, DataFrame]:
+    """mentions (conv_id, turn_idx, canon_label, pos, ts) + turns (for the
+    text cue scan) -> {'edges', 'reified'} DataFrames."""
+    m = mentions.select("conv_id", "turn_idx", "canon_label", "pos", "ts")
+    nxt = m.select(
+        "conv_id", "turn_idx",
+        (F.col("pos") - 1).alias("pos"),
+        F.col("canon_label").alias("obj"),
+    )
+    pairs = (
+        m.join(nxt, ["conv_id", "turn_idx", "pos"])
+        .where(F.col("canon_label") != F.col("obj"))
+        .select("conv_id", "turn_idx", "ts",
+                F.col("canon_label").alias("subject"), F.col("obj").alias("object"))
+    )
+    cues = turns.select(
+        "conv_id", "turn_idx",
+        F.regexp_extract(F.lower("text"), _CUE_RE, 1).alias("cue"),
+    )
+    cue_map = F.create_map(
+        *[F.lit(x) for kv in CUE_PREDICATES.items() for x in kv]
+    )
+    with_pred = (
+        pairs.join(cues, ["conv_id", "turn_idx"], "left")
+        .withColumn(
+            "predicate",
+            F.coalesce(cue_map[F.col("cue")], F.lit("relatedTo")),
+        )
+        .drop("cue")
+    )
+    reified = with_pred.withColumn(
+        "triple_id",
+        stable_id(F.col("subject"), F.col("predicate"), F.col("object"),
+                  F.col("conv_id"), F.col("turn_idx")),
+    ).dropDuplicates(["triple_id"])
+    edges = reified.select("subject", "predicate", "object").dropDuplicates()
+    return {"edges": edges, "reified": reified}
+
+
+def entity_context(mentions: DataFrame, max_terms: int = 5) -> DataFrame:
+    """A1: per entity, the top co-occurring labels (sorted, capped at 5 —
+    reference link_entities.py:437-493). Used as the disambiguation-
+    context analog; exposed as an auxiliary similarity signal."""
+    m = mentions.select("conv_id", "turn_idx", "canon_label").distinct()
+    co = (
+        m.alias("a").join(m.alias("b"), ["conv_id", "turn_idx"])
+        .where(F.col("a.canon_label") != F.col("b.canon_label"))
+        .groupBy(
+            F.col("a.canon_label").alias("canon_label"),
+            F.col("b.canon_label").alias("ctx"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        co.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("canon_label").orderBy(F.desc("n"), F.asc("ctx"))
+            ),
+        )
+        .where(F.col("rank") <= max_terms)
+        .groupBy("canon_label")
+        .agg(F.sort_array(F.collect_set("ctx")).alias("context"))
+    )
+
+
+def hub_by_triple_degree(edges: DataFrame, k: int = 20) -> DataFrame:
+    """A5 exact analog: degree over subject ∪ object roles of the triple
+    table (the reference's bidirectional UNION, template 10)."""
+    subj = edges.select(F.col("subject").alias("label"))
+    obj = edges.select(F.col("object").alias("label"))
+    return (
+        subj.unionByName(obj)
+        .groupBy("label").agg(F.count("*").alias("degree"))
+        .orderBy(F.desc("degree"), F.asc("label"))
+        .limit(k)
+    )

@@ -52,18 +52,26 @@ def alias_df(spark: SparkSession) -> DataFrame:
 
 
 def prepare_turns(turns: DataFrame) -> DataFrame:
-    """P9 + dedupe on the (conv_id, turn_idx) key (U2)."""
+    """P9 subagent filter (narrow — no shuffle here; the U2 dedup happens
+    inside mentions_from_turns AFTER the row filters so the shuffle moves
+    only assistant turns' projected columns, not every raw row)."""
     t = turns
     if "source_file" in t.columns:
         t = t.where(Flt.not_subagent())
-    return t.dropDuplicates(["conv_id", "turn_idx"])
+    return t
 
 
 def mentions_from_turns(turns: DataFrame) -> DataFrame:
-    """M1: extraction input filters + deterministic extraction."""
+    """M1: extraction input filters + U2 dedup + deterministic extraction.
+
+    Order matters for shuffle volume: filter (P3/P4) and prune to the five
+    extraction columns FIRST, then dropDuplicates on (conv_id, turn_idx) —
+    Catalyst will not reorder a user dedup through filters itself."""
     base = turns.where(Flt.assistant_only() & Flt.min_length_filter())
     if "platform" not in base.columns:
         base = base.withColumn("platform", F.lit("unknown"))
+    base = base.select("conv_id", "turn_idx", "platform", "ts", "text")
+    base = base.dropDuplicates(["conv_id", "turn_idx"])
     return extract_mentions(base)
 
 

@@ -1,0 +1,60 @@
+"""Sinks (SURVEY.md §2.1 S7/S8).
+
+- turtle_lines / write_turtle: serialize the engine's tables to W3C
+  Turtle so a user of the reference can load our output into the same
+  triplestore (the reference's .ttl sink, jsonl_to_rdf.py:273). The
+  formatter is a JVM-side column expression per row; writing is
+  spark.write.text — no driver-side loop.
+- write_serving_table: the Fuseki-upload analog — append to a serving
+  parquet/Iceberg table and verify with a count (load_fuseki.py:76-94).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from session_graph_spark.functions.normalize import slug
+
+PREFIXES = (
+    "@prefix devkg: <http://devkg.example.org/ontology#> .\n"
+    "@prefix data: <http://devkg.example.org/data/> .\n"
+    "@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .\n"
+)
+
+
+def _esc(col):
+    # Turtle string escape: backslash and double-quote
+    return F.regexp_replace(F.regexp_replace(col, r"\\", r"\\\\"), '"', r"\"")
+
+
+def turtle_lines(reified: DataFrame) -> DataFrame:
+    """Reified triple rows -> one Turtle statement block per row."""
+    s = F.concat(F.lit("data:entity/"), slug("subject"))
+    o = F.concat(F.lit("data:entity/"), slug("object"))
+    line = F.concat(
+        F.lit("data:triple/"), F.col("triple_id"), F.lit(" a devkg:KnowledgeTriple ; "),
+        F.lit("rdf:subject "), s, F.lit(" ; rdf:predicate devkg:"), F.col("predicate"),
+        F.lit(" ; rdf:object "), o,
+        F.lit(' ; devkg:extractedFrom "'), _esc(F.col("conv_id")), F.lit('" .'),
+    )
+    direct = F.concat(s, F.lit(" devkg:"), F.col("predicate"), F.lit(" "), o, F.lit(" ."))
+    return reified.select(F.concat_ws("\n", direct, line).alias("value"))
+
+
+def write_turtle(reified: DataFrame, path: str) -> None:
+    """Write a .ttl directory: a prefix header part + statement parts."""
+    spark = reified.sparkSession
+    header = spark.createDataFrame([(PREFIXES,)], ["value"])
+    header.unionByName(turtle_lines(reified)).coalesce(max(
+        1, reified.rdd.getNumPartitions() // 4
+    )).write.mode("overwrite").text(path)
+
+
+def write_serving_table(df: DataFrame, path: str, expect_min_rows: int = 1) -> int:
+    """S8 analog: append to the serving table, verify with COUNT(*)."""
+    df.write.mode("append").parquet(path)
+    n = df.sparkSession.read.parquet(path).count()
+    if n < expect_min_rows:
+        raise RuntimeError(f"serving table {path} has {n} rows < {expect_min_rows}")
+    return n

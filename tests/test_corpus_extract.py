@@ -57,6 +57,27 @@ def test_extract_batch_finds_planted_and_rejects_noise():
     assert list(out["mention_id"]) == list(out2["mention_id"])
 
 
+def test_sql_extraction_equals_pandas(spark):
+    """The whole-stage-codegen extraction must decide identically to the
+    Arrow-batched pandas form on (conv_id, turn_idx, norm_label, pos)."""
+    from session_graph_spark.operators.extract import (extract_mentions_pandas,
+                                                       extract_mentions_sql)
+
+    turns = corpus.generate_turns(spark, n_convs=25, seed=42)
+    base = turns.where(
+        (F.col("role") == "assistant") & (F.length(F.trim("text")) >= 30)
+    ).select("conv_id", "turn_idx", "platform", "ts", "text")
+    cols = ["conv_id", "turn_idx", "norm_label", "pos"]
+    a = sorted(map(tuple, extract_mentions_sql(base).select(*cols).collect()))
+    b = sorted(map(tuple, extract_mentions_pandas(base).select(*cols).collect()))
+    assert len(a) > 500
+    only_sql = set(a) - set(b)
+    only_pd = set(b) - set(a)
+    assert not only_sql and not only_pd, (
+        f"sql-only: {sorted(only_sql)[:10]} pandas-only: {sorted(only_pd)[:10]}"
+    )
+
+
 def test_extraction_spark_roundtrip_and_invariant(spark):
     turns = corpus.generate_turns(spark, n_convs=12)
     # per-row invariant: per-turn text equality under stable ordering after
