@@ -84,12 +84,16 @@ def normalized_labels(
     Curated alias canonicals bypass L2 (whitelist semantics): a canonical
     like 'node.js' would otherwise hit the file-extension rule even though
     it is a known-good dictionary entry."""
-    m = apply_aliases(mentions, aliases, label_col="norm_label", out_col="canon_label")
-    # aggregate BEFORE the L2 UDF: the filter is label-level semantics, so
-    # it runs on distinct labels (hundreds), not mention occurrences (10^9+)
+    # shrink FIRST: distinct (conv, norm_label) partial-aggregates map-side
+    # before any shuffle, so the alias join and session count run over
+    # label-conversation pairs (10^6-ish), never mention occurrences
+    # (10^9+). The L2 UDF then runs on distinct labels only (hundreds).
+    pairs = mentions.select("conv_id", "norm_label").dropDuplicates()
+    pairs = apply_aliases(pairs, aliases, label_col="norm_label", out_col="canon_label")
     counts = (
-        m.groupBy("canon_label")
-        .agg(F.countDistinct("conv_id").alias("n_sessions"))
+        pairs.select("conv_id", "canon_label").dropDuplicates()
+        .groupBy("canon_label")
+        .agg(F.count("*").alias("n_sessions"))
         .where(F.col("n_sessions") >= min_sessions)
     )
     canonicals = [r[0] for r in aliases.select("canonical").distinct().collect()]
