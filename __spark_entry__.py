@@ -433,7 +433,9 @@ def oracle_sql() -> dict[str, str]:
             FROM {_TOK_SQL} GROUP BY token HAVING n_docs >= 2
             ORDER BY token""",
         "platform_counts": """
-            SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars
+            -- ::BIGINT: DuckDB sum(BIGINT) returns HUGEINT -> pandas float64,
+            -- which breaks value-hash parity against Spark's int64
+            SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
             FROM documents GROUP BY source ORDER BY source""",
         "lang_stats": """
             SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
@@ -487,7 +489,7 @@ def oracle_sql() -> dict[str, str]:
                              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                              AS prev_ts
                       FROM events))
-            SELECT user_id, sum(new_sess) AS n_sessions
+            SELECT user_id, sum(new_sess)::BIGINT AS n_sessions
             FROM g GROUP BY user_id ORDER BY user_id""",
         "event_type_rollup": """
             SELECT event_type, count(*) AS n_events,

@@ -236,3 +236,22 @@ def assistant_only(col: str = "role") -> Column:
 def not_subagent(col: str = "source_file") -> Column:
     """P9: drop transcripts under /subagents/ (bulk_process.py:31-33)."""
     return ~F.coalesce(F.col(col), F.lit("")).contains("/subagents/")
+
+
+def min_output_filter(extracted, min_rows: int = 1,
+                      conv_col: str = "conv_id"):
+    """P11: drop conversations whose extraction produced fewer than
+    `min_rows` output rows (reference warp_to_rdf.py:330-339 skips a
+    conversation when fewer than --min-triples knowledge triples were
+    extracted). Takes the extracted table (mentions or triples) and
+    returns it with under-producing conversations removed.
+
+    The keep-list is an aggregate over conv_id (small) broadcast back
+    against the extraction output — no full shuffle of the big side."""
+    keep = (
+        extracted.groupBy(conv_col)
+        .agg(F.count("*").alias("__n_out"))
+        .where(F.col("__n_out") >= min_rows)
+        .select(conv_col)
+    )
+    return extracted.join(F.broadcast(keep), conv_col, "left_semi")

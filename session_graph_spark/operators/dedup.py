@@ -23,10 +23,28 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from session_graph_spark.operators.cc import connected_components
+
+# Per-bucket cap before the banded self-joins (same treatment as the
+# mention-ER blocker, blocking.py MAX_BLOCK_SIZE): a corpus with millions
+# of near-empty or boilerplate documents otherwise lands them all in one
+# band bucket -> O(n^2) pairs in a single skewed join key. Deterministic
+# truncation (lowest doc_ids kept); identical docs are already collapsed
+# by exact_dedup upstream in any real pipeline.
+MAX_BUCKET_DOCS = 64
+
+
+def _cap_buckets(banded: DataFrame, bucket_cols: list[str],
+                 max_docs: int = MAX_BUCKET_DOCS) -> DataFrame:
+    w = Window.partitionBy(*bucket_cols).orderBy("doc_id")
+    return (
+        banded.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= max_docs)
+        .drop("__rn")
+    )
 
 # --------------------------------------------------------------------------
 # exact
@@ -97,6 +115,7 @@ def minhash_lsh_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "do
             )
         ).alias("band_idx", "band_key"),
     )
+    banded = _cap_buckets(banded, ["band_idx", "band_key"])
     pairs = (
         banded.alias("x").join(banded.alias("y"),
                                (F.col("x.band_idx") == F.col("y.band_idx"))
@@ -171,6 +190,7 @@ def simhash_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
             for i in range(4)
         ])).alias("band_idx", "band_val"),
     )
+    banded = _cap_buckets(banded, ["band_idx", "band_val"])
     cand = (
         banded.alias("x").join(banded.alias("y"),
                                (F.col("x.band_idx") == F.col("y.band_idx"))
@@ -222,6 +242,7 @@ def embedding_dedup(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embe
     e = emb.select(F.col(id_col).alias("doc_id"),
                    F.transform(vec_col, lambda x: x.cast("double")).alias("v"))
     e = e.withColumn("bucket", hyperplane_bucket(F.col("v"), n_planes))
+    e = _cap_buckets(e, ["bucket"])
     pairs = (
         e.alias("x").join(e.alias("y"),
                           (F.col("x.bucket") == F.col("y.bucket"))

@@ -52,7 +52,9 @@ def _normalize_series(s: pd.Series) -> pd.Series:
     """pandas mirror of functions.normalize.normalize_entity (N2)."""
     s = s.str.strip().str.lower()
     s = s.str.replace(r"\s+", " ", regex=True)
-    return s.str.replace(r"[.,;:!?]+$", "", regex=True)
+    # strip the same trailing punctuation set as normalize_entity (the
+    # reference's rstrip('.,;:') — '!' and '?' are NOT stripped)
+    return s.str.replace(r"[.,;:]+$", "", regex=True)
 
 
 def extract_mentions_batch(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -146,7 +148,7 @@ def extract_mentions_sql(turns: DataFrame) -> DataFrame:
 
     def norm(x):
         y = F.regexp_replace(F.trim(x), r"\s+", " ")
-        return F.regexp_replace(y, r"[.,;:!?]+$", "")
+        return F.regexp_replace(y, r"[.,;:]+$", "")
 
     normed = F.transform(cands, norm)
     kept = F.filter(

@@ -139,21 +139,29 @@ def resolve(
     else:
         store = StageStore(spark, checkpoint_dir)
         turns_fp = store.fingerprint(turns.select("conv_id", "turn_idx", "text"))
+        # stage keys fold in EVERY input that shapes the stage's output —
+        # data fingerprints AND config — so re-running with a different
+        # alias table, min_sessions, decision cache, or threshold never
+        # returns a stale checkpoint
+        alias_fp = store.fingerprint(aliases)
         mentions = store.stage("mentions", turns_fp, lambda: mentions_from_turns(turns))
         labels = store.stage(
-            "labels", turns_fp, lambda: normalized_labels(mentions, aliases, min_sessions)
+            "labels", f"{turns_fp}:{alias_fp}:ms={min_sessions}",
+            lambda: normalized_labels(mentions, aliases, min_sessions),
         )
         labels_fp = store.fingerprint(labels)
+        decisions_fp = store.fingerprint(decisions) if decisions is not None else "none"
         pairs = store.stage(
             "pairs", labels_fp,
             lambda: candidate_pairs(labels, label_col="canon_label", block_col="block_key"),
         )
         scored = store.stage(
-            "scored", labels_fp, lambda: score_pairs(pairs, decisions=decisions)
+            "scored", f"{labels_fp}:dec={decisions_fp}",
+            lambda: score_pairs(pairs, decisions=decisions),
         )
         edges = match_edges(scored, threshold)
         clusters = store.stage(
-            "clusters", labels_fp,
+            "clusters", f"{labels_fp}:dec={decisions_fp}:th={threshold}",
             lambda: assign_clusters(labels, edges, label_col="canon_label"),
         )
 

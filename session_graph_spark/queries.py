@@ -140,9 +140,16 @@ def two_hop_neighbors(mentions: DataFrame, label: str, k: int = 20) -> DataFrame
         .where(F.col("mid") != label)
         .select("mid").distinct()
     )
+    # prune FIRST: restrict the left side to rows whose entity is a hop-1
+    # neighbor before the co-mention expansion — Catalyst will not reorder
+    # this inner join on its own without CBO stats, and the unpruned form
+    # is a full O(sum d_c^2) self-join at scale. hop1 is tiny (neighbors of
+    # one entity), so both the semi-join and the equi-join broadcast it.
+    mid_rows = m.withColumnRenamed("cluster_id", "mid").join(
+        F.broadcast(hop1), "mid", "left_semi"
+    )
     hop2 = (
-        m.join(m.withColumnRenamed("cluster_id", "mid"), "conv_id")
-        .join(hop1, "mid")
+        mid_rows.join(m, "conv_id")
         .where((F.col("cluster_id") != label) & (F.col("cluster_id") != F.col("mid")))
         .groupBy("cluster_id")
         .agg(F.countDistinct("mid").alias("n_paths"))

@@ -3,21 +3,37 @@ platform's export format into the canonical turns shape
 (conv_id, turn_idx, role, text, tool, ts, platform, source_file).
 
 Reference parsers being re-expressed (behavior, not code):
-- Claude Code JSONL: pipeline/jsonl_to_rdf.py:58-142 — line-per-message,
+- Claude Code JSONL: pipeline/jsonl_to_rdf.py:58-200 — line-per-message,
   content is a tagged union (plain string | list of text/tool_use/
-  tool_result/thinking blocks; thinking dropped).
-- DeepSeek export: pipeline/deepseek_to_rdf.py:89-162 — conversation
-  `mapping` tree; we order by timestamp instead of re-walking the DFS
-  (equivalent for linear chats, documented deviation for forks).
-- Grok export: pipeline/grok_to_rdf.py:83-180 — Mongo-export JSON with
-  $date/$numberLong timestamps, sender 'human' -> user.
+  tool_result/thinking blocks; thinking dropped). `claude_tool_events`
+  materializes the ToolCall -> ToolResult provenance join (J3) and
+  `claude_message_parents` the message -> parent join (J1).
+- DeepSeek export: pipeline/deepseek_to_rdf.py:40-162 — a .zip containing
+  conversations.json (or the bare file), each conversation a `mapping`
+  tree walked depth-first from root. The DFS runs per conversation inside
+  an Arrow batch (tree recursion is genuinely non-relational; one
+  conversation is one row, parallelism is across conversations/files).
+- Grok export: pipeline/grok_to_rdf.py:40-180 — a .zip containing
+  prod-grok-backend.json (Mongo export) with $date/$numberLong
+  timestamps, sender 'human' -> user.
+- Warp: pipeline/warp_to_rdf.py:59-87 — SQLite ai_queries table.
+  `read_warp_sqlite` reads the single-file DB on the driver (that is
+  where a SQLite file lives); everything downstream is distributed.
 
-All parsing is JVM-side (spark.read.text + from_json / get_json_object);
-malformed lines are dropped like the reference's try/except-continue.
+Line-delimited parsing stays JVM-side (spark.read.text + from_json /
+parse_json); whole-file vendor exports go through binaryFile so .zip and
+pretty-printed multi-line JSON both work. Malformed input is dropped like
+the reference's try/except-continue.
 """
 
 from __future__ import annotations
 
+import io
+import json
+import zipfile
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (ArrayType, StringType, StructField, StructType)
@@ -86,55 +102,125 @@ def read_claude_code_jsonl(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-_DEEPSEEK_SCHEMA = ArrayType(StructType([
-    StructField("id", StringType()),
-    StructField("title", StringType()),
-    StructField("mapping", StringType()),  # nested map parsed in 2nd pass
-]))
+_ZIP_MAGIC = b"PK\x03\x04"
 
-_DS_NODE = StructType([
-    StructField("message", StructType([
-        StructField("fragments", ArrayType(StructType([
-            StructField("type", StringType()),
-            StructField("content", StringType()),
-        ]))),
-        StructField("inserted_at", StringType()),
-    ])),
-    StructField("parent", StringType()),
-    StructField("children", ArrayType(StringType())),
-])
+
+def read_whole_files(spark: SparkSession, path: str,
+                     member_suffix: str | None = None) -> DataFrame:
+    """(source_file, value): one row per input file with its full text.
+
+    Vendor exports are either a bare (often pretty-printed, multi-line)
+    JSON file or the .zip the vendor ships; binaryFile handles both
+    uniformly and an Arrow-batched decode extracts the `member_suffix`
+    entry from zips (reference deepseek_to_rdf.py:40-63,
+    grok_to_rdf.py:42-47). One export is one bounded per-user file, so
+    whole-file rows are the right granularity — parallelism is across
+    files, which is how a 100TB corpus of exports arrives."""
+    raw = spark.read.format("binaryFile").load(path)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:  # pragma: no cover
+        for pdf in batches:
+            files: list[str] = []
+            texts: list[str] = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
+                if data[:4] == _ZIP_MAGIC:
+                    try:
+                        with zipfile.ZipFile(io.BytesIO(data)) as zf:
+                            names = [n for n in zf.namelist()
+                                     if member_suffix is None or n.endswith(member_suffix)]
+                            for n in names:
+                                files.append(f"{p}!{n}")
+                                texts.append(zf.read(n).decode("utf-8", "replace"))
+                    except zipfile.BadZipFile:
+                        continue
+                else:
+                    files.append(p)
+                    texts.append(data.decode("utf-8", "replace"))
+            yield pd.DataFrame({"source_file": files, "value": texts})
+
+    return raw.select("path", "content").mapInPandas(
+        decode, schema="source_file string, value string"
+    )
+
+
+def _walk_deepseek_mapping(mapping: dict) -> list[tuple[str, str, str | None]]:
+    """Iterative preorder DFS from root (reference walk_conversation_tree,
+    deepseek_to_rdf.py:89-162): per node, REQUEST fragments join into one
+    user turn, RESPONSE/THINK fragments into one assistant turn. Iterative
+    so a 10k-turn linear chat doesn't hit the recursion limit."""
+    roots = ["root"] if "root" in mapping else [
+        nid for nid, n in mapping.items() if isinstance(n, dict) and n.get("parent") is None
+    ][:1]
+    out: list[tuple[str, str, str | None]] = []
+    stack = list(reversed(roots))
+    while stack:
+        node = mapping.get(stack.pop())
+        if not isinstance(node, dict):
+            continue
+        msg = node.get("message") or {}
+        frags = msg.get("fragments") or []
+        ts = msg.get("inserted_at")
+        user_parts = [f.get("content") for f in frags
+                      if f.get("type") == "REQUEST" and f.get("content")]
+        asst_parts = [f.get("content") for f in frags
+                      if f.get("type") in ("RESPONSE", "THINK") and f.get("content")]
+        if user_parts:
+            out.append(("user", "\n".join(user_parts), ts))
+        if asst_parts:
+            out.append(("assistant", "\n".join(asst_parts), ts))
+        stack.extend(reversed(node.get("children") or []))
+    return out
 
 
 def read_deepseek_json(spark: SparkSession, path: str) -> DataFrame:
-    """S2+S5: DeepSeek conversations.json -> turns. Fragments typed
-    REQUEST (user) / RESPONSE (assistant); THINK dropped (reference
-    deepseek_to_rdf.py:111-121). Turn order: message timestamp (stable
-    tiebreak on node id)."""
-    raw = spark.read.option("multiLine", "true").text(path)
-    convs = raw.select(F.explode(F.from_json("value", _DEEPSEEK_SCHEMA)).alias("c"))
-    nodes = convs.select(
-        F.col("c.id").alias("conv_id"),
-        F.explode(
-            F.from_json(F.col("c.mapping"), f"map<string,{_DS_NODE.simpleString()}>")
-        ).alias("node_id", "node"),
+    """S2+S5: DeepSeek export (.zip or conversations.json, pretty-printed
+    or compact) -> turns in true DFS tree order — forked conversations
+    (regenerated branches) keep each branch contiguous, unlike a
+    timestamp sort. Fragment roles follow the reference: REQUEST -> user,
+    RESPONSE/THINK -> assistant (deepseek_to_rdf.py:104-121)."""
+    raw = read_whole_files(spark, path, member_suffix="conversations.json")
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:  # pragma: no cover
+        for pdf in batches:
+            rows: list[tuple] = []
+            for src, text in zip(pdf["source_file"], pdf["value"]):
+                try:
+                    convs = json.loads(text)
+                except ValueError:
+                    continue  # malformed export -> dropped (reference behavior)
+                if not isinstance(convs, list):
+                    continue
+                for c in convs:
+                    if not isinstance(c, dict):
+                        continue
+                    mapping = c.get("mapping") or {}
+                    if isinstance(mapping, str):  # tolerated: stringified mapping
+                        try:
+                            mapping = json.loads(mapping)
+                        except ValueError:
+                            continue
+                    for idx, (role, txt, ts) in enumerate(_walk_deepseek_mapping(mapping)):
+                        rows.append((c.get("id"), idx, role, txt, ts, src))
+            yield pd.DataFrame(
+                rows, columns=["conv_id", "turn_idx", "role", "text", "ts_raw",
+                               "source_file"],
+            )
+
+    turns = raw.mapInPandas(
+        parse,
+        schema="conv_id string, turn_idx int, role string, text string, "
+               "ts_raw string, source_file string",
     )
-    frags = nodes.select(
-        "conv_id", "node_id",
-        F.to_timestamp(F.col("node.message.inserted_at")).alias("ts"),
-        F.explode(F.col("node.message.fragments")).alias("f"),
-    ).where(F.col("f.type").isin("REQUEST", "RESPONSE"))
-    w = Window.partitionBy("conv_id").orderBy("ts", "node_id")
     return (
-        frags.select(
-            "conv_id",
-            F.when(F.col("f.type") == "REQUEST", "user").otherwise("assistant").alias("role"),
-            F.col("f.content").alias("text"),
+        turns.where(F.col("conv_id").isNotNull())
+        .select(
+            "conv_id", "turn_idx", "role", "text",
             F.lit(None).cast("string").alias("tool"),
-            "ts", "node_id",
+            F.to_timestamp("ts_raw").alias("ts"),
+            F.lit("deepseek").alias("platform"),
+            "source_file",
         )
-        .withColumn("turn_idx", (F.row_number().over(w) - 1).cast("int"))
-        .withColumn("platform", F.lit("deepseek"))
-        .withColumn("source_file", F.lit(path))
         .select(*TURNS_COLUMNS)
     )
 
@@ -160,16 +246,20 @@ _GROK_SCHEMA = StructType([
 
 
 def read_grok_json(spark: SparkSession, path: str) -> DataFrame:
-    """S3: Grok Mongo-export JSON -> turns ('human' -> user, epoch-millis
-    timestamps; reference grok_to_rdf.py:50-80,172-180)."""
-    raw = spark.read.option("multiLine", "true").text(path)
-    j = raw.select(F.from_json("value", _GROK_SCHEMA).alias("r"))
-    conv = j.select(F.explode("r.conversations").alias("c"))
+    """S3: Grok export (.zip or prod-grok-backend.json, pretty-printed or
+    compact) -> turns ('human' -> user, epoch-millis timestamps;
+    reference grok_to_rdf.py:40-80,172-180). Whole-file read, then the
+    structured parse stays JVM-side (from_json on the file text)."""
+    raw = read_whole_files(spark, path, member_suffix="prod-grok-backend.json")
+    j = raw.select("source_file", F.from_json("value", _GROK_SCHEMA).alias("r"))
+    conv = j.select("source_file", F.explode("r.conversations").alias("c"))
     resp = conv.select(
+        "source_file",
         F.col("c.conversation._id.$oid").alias("conv_id"),
-        F.explode("c.responses").alias("resp"),
+        F.posexplode("c.responses").alias("resp_ord", "resp"),
     )
-    w = Window.partitionBy("conv_id").orderBy("ts")
+    # stable order: timestamp, then array position (Mongo export order)
+    w = Window.partitionBy("conv_id").orderBy("ts", "resp_ord")
     return (
         resp.select(
             "conv_id",
@@ -180,10 +270,10 @@ def read_grok_json(spark: SparkSession, path: str) -> DataFrame:
             F.timestamp_millis(
                 F.col("resp.response.create_time.$date.$numberLong").cast("long")
             ).alias("ts"),
+            "resp_ord", "source_file",
         )
         .withColumn("turn_idx", (F.row_number().over(w) - 1).cast("int"))
         .withColumn("platform", F.lit("grok"))
-        .withColumn("source_file", F.lit(path))
         .select(*TURNS_COLUMNS)
     )
 
@@ -239,6 +329,122 @@ def warp_turns(queries_df: DataFrame, min_exchanges: int = 5,
         .withColumn("platform", F.lit("warp"))
         .withColumn("source_file", F.lit("warp.sqlite"))
         .select(*TURNS_COLUMNS)
+    )
+
+
+def read_warp_sqlite(spark: SparkSession, db_path: str,
+                     min_exchanges: int = 5, min_text_chars: int = 30) -> DataFrame:
+    """S4: read Warp's ai_queries table straight from the SQLite file and
+    normalize to turns (reference warp_to_rdf.py:59-87). A SQLite DB is a
+    single local file, so the scan is a driver-side sqlite3 read
+    materialized into a DataFrame — the one-time export step; everything
+    downstream is distributed. Warp stores no assistant text (the
+    reference reads output_status only), so assistant turns are absent
+    unless the caller supplies them."""
+    import sqlite3
+
+    conn = sqlite3.connect(db_path)
+    try:
+        rows = conn.execute(
+            "SELECT exchange_id, conversation_id, start_ts, input, "
+            "working_directory, output_status, model_id "
+            "FROM ai_queries ORDER BY conversation_id, start_ts"
+        ).fetchall()
+    finally:
+        conn.close()
+    df = spark.createDataFrame(
+        [(r[1], r[0], r[2], r[3], None, r[4], r[6]) for r in rows],
+        schema="conversation_id string, exchange_id string, start_ts string, "
+               "input string, output string, working_directory string, "
+               "model_id string",
+    )
+    return warp_turns(df, min_exchanges=min_exchanges, min_text_chars=min_text_chars)
+
+
+def claude_tool_events(spark: SparkSession, path: str) -> DataFrame:
+    """J3: ToolCall -> ToolResult provenance join over a Claude Code JSONL.
+
+    One row per tool_use block joined to its tool_result by tool_use_id
+    (reference jsonl_to_rdf.py:150-200: ToolCall node + hasToolResult
+    edge). tool_result content is a union type — plain string or a list
+    of text blocks — handled with the VariantType accessors so both
+    shapes parse without a Python UDF."""
+    raw = spark.read.text(path).withColumn("source_file", F.input_file_name())
+    v = F.try_parse_json("value")
+    rec = raw.select(
+        "source_file",
+        F.try_variant_get(v, "$.sessionId", "string").alias("conv_id"),
+        F.try_variant_get(v, "$.timestamp", "string").alias("ts_raw"),
+        F.explode(
+            F.try_variant_get(v, "$.message.content", "array<variant>")
+        ).alias("b"),
+    )
+    calls = rec.select(
+        "conv_id", "source_file",
+        F.try_variant_get("b", "$.id", "string").alias("tool_use_id"),
+        F.try_variant_get("b", "$.name", "string").alias("tool_name"),
+        # input summary truncated at 500 chars (reference :185-187)
+        F.substring(
+            F.try_variant_get("b", "$.input", "string"), 1, 500
+        ).alias("tool_input"),
+        F.to_timestamp("ts_raw").alias("call_ts"),
+    ).where(
+        (F.try_variant_get("b", "$.type", "string") == "tool_use")
+        & F.col("tool_use_id").isNotNull()
+    )
+    result_blocks = F.try_variant_get(
+        "b", "$.content", "array<struct<type string, text string>>"
+    )
+    results = rec.select(
+        F.try_variant_get("b", "$.tool_use_id", "string").alias("tool_use_id"),
+        # list-of-text-blocks -> joined text; plain string -> as-is
+        F.coalesce(
+            F.when(
+                result_blocks.isNotNull(),
+                F.array_join(
+                    F.transform(
+                        F.filter(result_blocks, lambda x: x["type"] == "text"),
+                        lambda x: x["text"],
+                    ),
+                    " ",
+                ),
+            ),
+            F.try_variant_get("b", "$.content", "string"),
+        ).alias("result_text"),
+        F.to_timestamp("ts_raw").alias("result_ts"),
+    ).where(
+        (F.try_variant_get("b", "$.type", "string") == "tool_result")
+        & F.col("tool_use_id").isNotNull()
+    )
+    # tool_use_id is unique per call; results follow their call in the log
+    return calls.join(results, "tool_use_id", "left").select(
+        "conv_id", "tool_use_id", "tool_name", "tool_input",
+        "call_ts", "result_text", "result_ts", "source_file",
+    )
+
+
+def claude_message_parents(spark: SparkSession, path: str) -> DataFrame:
+    """J1: message -> parent join materialized over a Claude Code JSONL:
+    each user/assistant message row with its parent's role and timestamp
+    (reference jsonl_to_rdf.py message chain via parentUuid)."""
+    raw = spark.read.text(path)
+    j = raw.withColumn("rec", F.from_json("value", _CLAUDE_SCHEMA)).where(
+        F.col("rec.type").isin("user", "assistant")
+    )
+    msgs = j.select(
+        F.col("rec.sessionId").alias("conv_id"),
+        F.col("rec.uuid").alias("uuid"),
+        F.col("rec.parentUuid").alias("parent_uuid"),
+        F.col("rec.type").alias("role"),
+        F.to_timestamp("rec.timestamp").alias("ts"),
+    ).where(F.col("uuid").isNotNull())
+    parents = msgs.select(
+        F.col("uuid").alias("parent_uuid"),
+        F.col("role").alias("parent_role"),
+        F.col("ts").alias("parent_ts"),
+    )
+    return msgs.join(parents, "parent_uuid", "left").select(
+        "conv_id", "uuid", "parent_uuid", "role", "ts", "parent_role", "parent_ts"
     )
 
 

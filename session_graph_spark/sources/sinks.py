@@ -19,13 +19,17 @@ from session_graph_spark.functions.normalize import slug
 PREFIXES = (
     "@prefix devkg: <http://devkg.example.org/ontology#> .\n"
     "@prefix data: <http://devkg.example.org/data/> .\n"
+    "@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .\n"
     "@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .\n"
 )
 
 
 def _esc(col):
-    # Turtle string escape: backslash and double-quote
-    return F.regexp_replace(F.regexp_replace(col, r"\\", r"\\\\"), '"', r"\"")
+    # Turtle string escape: backslash and double-quote. In Java's
+    # replaceAll the *replacement* string also treats backslash as an
+    # escape, so a literal \" needs four backslashes in the pattern
+    # string ('\\\\' -> one literal backslash in output).
+    return F.regexp_replace(F.regexp_replace(col, r"\\", "\\\\\\\\"), '"', '\\\\"')
 
 
 def turtle_lines(reified: DataFrame) -> DataFrame:

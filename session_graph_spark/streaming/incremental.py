@@ -29,12 +29,21 @@ from session_graph_spark.plans.pipeline import resolve
 
 
 class IncrementalRunner:
-    """Stateful incremental ER over a growing turns store."""
+    """Stateful incremental ER over a growing turns store.
 
-    def __init__(self, spark: SparkSession, state_dir: str):
+    min_sessions defaults to 1 here (not the batch pipeline's 2): the
+    frequency filter is a corpus-wide property, and an incremental batch
+    may contain a single changed conversation — pruning on batch-local
+    session counts would silently drop every label. This mirrors the
+    reference, where the watermark consumer ingests per-session and the
+    min-sessions cut happens at entity-linking time over the full graph
+    (link_entities.py --min-sessions)."""
+
+    def __init__(self, spark: SparkSession, state_dir: str, min_sessions: int = 1):
         self.spark = spark
         self.state_dir = Path(state_dir)
         self.state_dir.mkdir(parents=True, exist_ok=True)
+        self.min_sessions = min_sessions
 
     @property
     def _wm_path(self) -> str:
@@ -65,7 +74,7 @@ class IncrementalRunner:
                 [], "conv_id string, canon_label string, cluster_id string"
             )
         batch_turns = turns.join(F.broadcast(todo.select("conv_id")), "conv_id", "left_semi")
-        res = resolve(self.spark, batch_turns)
+        res = resolve(self.spark, batch_turns, min_sessions=self.min_sessions)
         # sever lineage BEFORE updating the watermark table: the returned
         # DataFrame's plan must not re-read a parquet path this method is
         # about to overwrite (the overwrite invalidates dependent caches
@@ -73,12 +82,38 @@ class IncrementalRunner:
         out = res.mention_clusters.select(
             "conv_id", "canon_label", "cluster_id"
         ).localCheckpoint(eager=True)
-        out.write.mode("append").parquet(self._clusters_path)
-        new_wm = wm if prev is None else prev.unionByName(todo).dropDuplicates(["conv_id"])
-        new_wm.write.mode("overwrite").parquet(self._wm_path + ".tmp")
-        tmp = self.spark.read.parquet(self._wm_path + ".tmp")
-        tmp.write.mode("overwrite").parquet(self._wm_path)
+        # merge-by-conv_id, not blind append: a *changed* conversation's
+        # old assignment rows must be replaced or readers of the clusters
+        # table see stale duplicates forever
+        self._merge_overwrite(self._clusters_path, out, todo.select("conv_id"))
+        # watermark merge must keep the NEW hash for changed conv_ids —
+        # unionByName+dropDuplicates keeps an arbitrary row, which can
+        # resurrect the stale hash and re-process the conversation forever
+        new_wm = wm if prev is None else (
+            prev.join(todo.select("conv_id"), "conv_id", "left_anti").unionByName(todo)
+        )
+        self._atomic_overwrite(self._wm_path, new_wm)
         return out
+
+    def _atomic_overwrite(self, path: str, df: DataFrame) -> None:
+        """Overwrite a parquet table whose current contents may feed the
+        plan being written: stage through .tmp, then rewrite."""
+        df.write.mode("overwrite").parquet(path + ".tmp")
+        self.spark.read.parquet(path + ".tmp").write.mode("overwrite").parquet(path)
+
+    def _merge_overwrite(self, path: str, new_rows: DataFrame,
+                         replaced_convs: DataFrame) -> None:
+        """Upsert semantics over a parquet table keyed by conv_id (the
+        Iceberg MERGE INTO analog): drop existing rows for the replaced
+        conversations, union the new rows."""
+        if Path(path).exists():
+            existing = self.spark.read.parquet(path)
+            merged = existing.join(
+                F.broadcast(replaced_convs), "conv_id", "left_anti"
+            ).unionByName(new_rows)
+            self._atomic_overwrite(path, merged)
+        else:
+            new_rows.write.mode("overwrite").parquet(path)
 
 
 def stream_turns(spark: SparkSession, input_dir: str, schema: str,

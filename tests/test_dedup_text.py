@@ -166,3 +166,50 @@ def test_multimodal_plumbing(spark):
     d = dedupe_assets(assets)
     assert d.count() == 12
     assert d.select("content_hash").distinct().count() == 12
+
+
+def test_dedup_bucket_caps(spark):
+    """Scale guard: thousands of identical/boilerplate docs land in one
+    band bucket; the per-bucket cap must bound the pair explosion (the
+    uncapped form is O(n^2) in a single skewed join key)."""
+    from session_graph_spark.operators.dedup import (MAX_BUCKET_DOCS,
+                                                     embedding_dedup,
+                                                     minhash_lsh_dedup,
+                                                     simhash_dedup)
+
+    n = 2000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate text repeated for every row").alias("text"),
+    )
+    cap_pairs = MAX_BUCKET_DOCS * (MAX_BUCKET_DOCS - 1) // 2
+
+    # simhash: 4 bands, all docs identical -> one bucket per band, capped
+    sh_pairs = simhash_dedup(docs).count()
+    assert 0 < sh_pairs <= cap_pairs  # distinct dedup collapses the 4 bands
+
+    # minhash LSH: completes with a bounded assignment (would OOM/expode
+    # at 32 bands x C(2000,2) uncapped)
+    groups = minhash_lsh_dedup(docs, threshold=0.8)
+    assert groups.count() == n
+
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(float(i + 1)) for i in range(8)]).alias("embedding"),
+    )
+    e_pairs = embedding_dedup(emb, threshold=0.9, n_planes=8).count()
+    assert 0 < e_pairs <= cap_pairs
+
+
+def test_min_output_filter(spark):
+    """P11: conversations with fewer than min_rows extracted rows are
+    dropped from the extraction output (reference warp_to_rdf.py:330-339)."""
+    from session_graph_spark.functions.filters import min_output_filter
+
+    rows = [("c1", f"m{i}") for i in range(3)] + [("c2", "m0")]
+    m = spark.createDataFrame(rows, ["conv_id", "norm_label"])
+    kept = min_output_filter(m, min_rows=2)
+    assert {r["conv_id"] for r in kept.collect()} == {"c1"}
+    assert kept.count() == 3
+    # min_rows=1 keeps everything
+    assert min_output_filter(m, min_rows=1).count() == 4

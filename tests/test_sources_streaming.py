@@ -23,8 +23,15 @@ def claude_file(tmp_path_factory):
         {"type": "assistant", "uuid": "a2", "parentUuid": "a1",
          "timestamp": "2026-01-05T08:01:00Z", "sessionId": "s1",
          "message": {"content": [
-             {"type": "tool_result", "tool_use_id": "t1", "text": "deployment created"},
+             {"type": "tool_result", "tool_use_id": "t1", "content": "deployment created"},
              {"type": "text", "text": "Done."}, {"type": "text", "text": "The postgres pod restarted."},
+             {"type": "tool_use", "id": "t2", "name": "Read", "input": {"file_path": "/x"}},
+         ]}},
+        {"type": "user", "uuid": "u2", "parentUuid": "a2",
+         "timestamp": "2026-01-05T08:01:10Z", "sessionId": "s1",
+         "message": {"content": [
+             {"type": "tool_result", "tool_use_id": "t2",
+              "content": [{"type": "text", "text": "ok"}, {"type": "text", "text": "block"}]},
          ]}},
         {"type": "summary", "uuid": "x", "sessionId": "s1"},  # dropped
         "NOT JSON AT ALL",                                     # malformed -> dropped
@@ -38,61 +45,186 @@ def test_read_claude_code(spark, claude_file):
 
     t = read_claude_code_jsonl(spark, claude_file)
     rows = {r["turn_idx"]: r for r in t.collect()}
-    assert len(rows) == 3
+    assert len(rows) == 4
     assert rows[0]["role"] == "user"
     assert rows[0]["text"] == "Please migrate the auth service to kubernetes"
     assert rows[1]["tool"] == "Bash"
     assert rows[1]["text"] == "I will use k8s manifests for the deployment."  # thinking dropped
     assert rows[2]["text"] == "Done.\nThe postgres pod restarted."  # blocks joined
+    assert rows[3]["text"] == ""  # tool_result-only message: empty text turn
     assert rows[0]["conv_id"] == "s1" and rows[0]["platform"] == "claude-code"
 
 
-def test_read_deepseek(spark, tmp_path):
+_DS_CONVS = [{
+    "id": "d1", "title": "t",
+    "mapping": {
+        "root": {"message": None, "parent": None, "children": ["n1"]},
+        "n1": {"message": {"fragments": [
+                   {"type": "REQUEST", "content": "how do I deploy postgres"}],
+               "inserted_at": "2026-01-05T08:00:00"},
+               "parent": "root", "children": ["n2"]},
+        "n2": {"message": {"fragments": [
+                   {"type": "THINK", "content": "hmm"},
+                   {"type": "RESPONSE", "content": "use docker compose with postgresql"}],
+               "inserted_at": "2026-01-05T08:00:10"},
+               "parent": "n1", "children": []},
+    },
+}]
+
+
+def test_read_deepseek_pretty_printed(spark, tmp_path):
+    """Real DeepSeek exports are pretty-printed multi-line JSON — the
+    round-1 line-by-line read silently yielded zero rows on these."""
     from session_graph_spark.sources.readers import read_deepseek_json
 
-    conv = [{
-        "id": "d1", "title": "t",
-        "mapping": json.dumps({
-            "root": {"message": None, "parent": None, "children": ["n1"]},
-            "n1": {"message": {"fragments": [
-                       {"type": "REQUEST", "content": "how do I deploy postgres"}],
-                   "inserted_at": "2026-01-05T08:00:00"},
-                   "parent": "root", "children": ["n2"]},
-            "n2": {"message": {"fragments": [
-                       {"type": "THINK", "content": "hmm"},
-                       {"type": "RESPONSE", "content": "use docker compose with postgresql"}],
-                   "inserted_at": "2026-01-05T08:00:10"},
-                   "parent": "n1", "children": []},
-        }),
-    }]
     p = tmp_path / "conversations.json"
-    p.write_text(json.dumps(conv))
+    p.write_text(json.dumps(_DS_CONVS, indent=2))
     t = read_deepseek_json(spark, str(p))
     rows = sorted(t.collect(), key=lambda r: r["turn_idx"])
     assert [r["role"] for r in rows] == ["user", "assistant"]
-    assert rows[1]["text"] == "use docker compose with postgresql"  # THINK dropped
+    # reference walk: RESPONSE and THINK both join into the assistant turn
+    assert rows[1]["text"] == "hmm\nuse docker compose with postgresql"
     assert rows[0]["platform"] == "deepseek"
+    assert rows[0]["ts"].year == 2026
 
 
-def test_read_grok(spark, tmp_path):
+def test_read_deepseek_zip(spark, tmp_path):
+    import zipfile
+
+    from session_graph_spark.sources.readers import read_deepseek_json
+
+    zp = tmp_path / "deepseek_export.zip"
+    with zipfile.ZipFile(zp, "w") as zf:
+        zf.writestr("user.json", json.dumps({"id": "u"}))
+        zf.writestr("data/conversations.json", json.dumps(_DS_CONVS, indent=1))
+    t = read_deepseek_json(spark, str(zp))
+    rows = sorted(t.collect(), key=lambda r: r["turn_idx"])
+    assert len(rows) == 2 and rows[0]["text"] == "how do I deploy postgres"
+    assert rows[0]["source_file"].endswith("!data/conversations.json")
+
+
+def test_read_deepseek_forked_tree_dfs(spark, tmp_path):
+    """Forked mapping (a regenerated branch): DFS keeps each branch
+    contiguous even when the fork's timestamps interleave."""
+    from session_graph_spark.sources.readers import read_deepseek_json
+
+    convs = [{
+        "id": "d2",
+        "mapping": {
+            "root": {"message": None, "parent": None, "children": ["q"]},
+            "q": {"message": {"fragments": [{"type": "REQUEST", "content": "q text"}],
+                  "inserted_at": "2026-01-05T08:00:00"},
+                  "parent": "root", "children": ["a1", "a2"]},
+            # branch 1 (older regeneration) with a follow-up ts LATER than a2
+            "a1": {"message": {"fragments": [{"type": "RESPONSE", "content": "answer one"}],
+                   "inserted_at": "2026-01-05T08:00:10"},
+                   "parent": "q", "children": ["f1"]},
+            "f1": {"message": {"fragments": [{"type": "REQUEST", "content": "followup one"}],
+                   "inserted_at": "2026-01-05T08:03:00"},
+                   "parent": "a1", "children": []},
+            # branch 2 (regenerated answer) between a1 and f1 in time
+            "a2": {"message": {"fragments": [{"type": "RESPONSE", "content": "answer two"}],
+                   "inserted_at": "2026-01-05T08:01:00"},
+                   "parent": "q", "children": []},
+        },
+    }]
+    p = tmp_path / "conversations.json"
+    p.write_text(json.dumps(convs))
+    t = read_deepseek_json(spark, str(p))
+    texts = [r["text"] for r in sorted(t.collect(), key=lambda r: r["turn_idx"])]
+    # DFS: q -> a1 -> f1 (branch 1 complete) -> a2; a ts sort would put
+    # a2 before f1, interleaving the branches
+    assert texts == ["q text", "answer one", "followup one", "answer two"]
+
+
+_GROK_DATA = {"conversations": [{
+    "conversation": {"_id": {"$oid": "g1"}},
+    "responses": [
+        {"response": {"sender": "human", "message": "why is the grafana dashboard empty",
+                      "create_time": {"$date": {"$numberLong": "1767600000000"}}}},
+        {"response": {"sender": "grok", "message": "prometheus scrape config is wrong",
+                      "create_time": {"$date": {"$numberLong": "1767600010000"}}}},
+    ],
+}]}
+
+
+def test_read_grok_pretty_printed(spark, tmp_path):
     from session_graph_spark.sources.readers import read_grok_json
 
-    data = {"conversations": [{
-        "conversation": {"_id": {"$oid": "g1"}},
-        "responses": [
-            {"response": {"sender": "human", "message": "why is the grafana dashboard empty",
-                          "create_time": {"$date": {"$numberLong": "1767600000000"}}}},
-            {"response": {"sender": "grok", "message": "prometheus scrape config is wrong",
-                          "create_time": {"$date": {"$numberLong": "1767600010000"}}}},
-        ],
-    }]}
     p = tmp_path / "prod-grok-backend.json"
-    p.write_text(json.dumps(data))
+    p.write_text(json.dumps(_GROK_DATA, indent=2))
     t = read_grok_json(spark, str(p))
     rows = sorted(t.collect(), key=lambda r: r["turn_idx"])
     assert [r["role"] for r in rows] == ["user", "assistant"]
     assert rows[0]["conv_id"] == "g1"
     assert rows[0]["ts"].year == 2026
+
+
+def test_read_grok_zip(spark, tmp_path):
+    import zipfile
+
+    from session_graph_spark.sources.readers import read_grok_json
+
+    zp = tmp_path / "grok_export.zip"
+    with zipfile.ZipFile(zp, "w") as zf:
+        zf.writestr("prod-grok-backend.json", json.dumps(_GROK_DATA))
+    t = read_grok_json(spark, str(zp))
+    assert t.count() == 2
+    assert t.first()["conv_id"] == "g1"
+
+
+def test_claude_tool_events(spark, claude_file):
+    """J3: tool_use joined back to its tool_result by tool_use_id, with
+    both content shapes (plain string / list of text blocks)."""
+    from session_graph_spark.sources.readers import claude_tool_events
+
+    ev = claude_tool_events(spark, claude_file).collect()
+    by_id = {r["tool_use_id"]: r for r in ev}
+    assert set(by_id) == {"t1", "t2"}
+    assert by_id["t1"]["tool_name"] == "Bash"
+    assert "kubectl apply" in by_id["t1"]["tool_input"]
+    assert by_id["t1"]["result_text"] == "deployment created"  # string content
+    assert by_id["t2"]["result_text"] == "ok block"            # block-list content
+    assert by_id["t1"]["result_ts"] >= by_id["t1"]["call_ts"]
+
+
+def test_claude_message_parents(spark, claude_file):
+    """J1: message -> parent join materialized."""
+    from session_graph_spark.sources.readers import claude_message_parents
+
+    rows = {r["uuid"]: r for r in claude_message_parents(spark, claude_file).collect()}
+    assert rows["a1"]["parent_uuid"] == "u1" and rows["a1"]["parent_role"] == "user"
+    assert rows["u1"]["parent_role"] is None  # root message
+    assert rows["a2"]["parent_ts"] < rows["a2"]["ts"]
+
+
+def test_read_warp_sqlite(spark, tmp_path):
+    """S4: direct SQLite read path (reference warp_to_rdf.py:59-87)."""
+    import sqlite3
+
+    from session_graph_spark.sources.readers import read_warp_sqlite
+
+    db = str(tmp_path / "warp.sqlite")
+    conn = sqlite3.connect(db)
+    conn.execute(
+        "CREATE TABLE ai_queries (exchange_id TEXT, conversation_id TEXT, "
+        "start_ts TEXT, input TEXT, working_directory TEXT, "
+        "output_status TEXT, model_id TEXT)"
+    )
+    for i in range(5):
+        conn.execute(
+            "INSERT INTO ai_queries VALUES (?,?,?,?,?,?,?)",
+            (f"e{i}", "w1", f"2026-01-05T08:0{i}:00",
+             json.dumps([{"Query": {"text": f"long enough substantive question {i} about postgres"}}]),
+             "/w", "done", "m1"),
+        )
+    conn.commit()
+    conn.close()
+    t = read_warp_sqlite(spark, db, min_exchanges=5)
+    rows = sorted(t.collect(), key=lambda r: r["turn_idx"])
+    assert len(rows) == 5  # user turns only: Warp stores no assistant text
+    assert all(r["role"] == "user" for r in rows)
+    assert rows[0]["platform"] == "warp" and "postgres" in rows[0]["text"]
 
 
 def test_warp_turns(spark):
@@ -150,3 +282,43 @@ def test_incremental_runner(spark, tmp_path):
     new_convs = {r["conv_id"] for r in out3.select("conv_id").distinct().collect()}
     assert new_convs
     assert all(c.endswith("-new") for c in new_convs), new_convs
+
+
+def test_incremental_changed_conversation(spark, tmp_path):
+    """A *changed* conversation must (1) be re-processed exactly once —
+    the watermark keeps the new hash — and (2) have its old cluster rows
+    replaced, not duplicated (merge, not blind append)."""
+    from session_graph_spark import corpus
+    from session_graph_spark.streaming.incremental import IncrementalRunner
+
+    turns1 = corpus.generate_turns(spark, n_convs=6, seed=42).cache()
+    state = str(tmp_path / "state")
+    runner = IncrementalRunner(spark, state)
+    runner.run(turns1)
+    clusters1 = spark.read.parquet(state + "/clusters")
+    changed_conv = clusters1.first()["conv_id"]
+    # materialize now: the parquet path is overwritten by the next run
+    n_other_rows = clusters1.where(F.col("conv_id") != changed_conv).count()
+
+    # mutate one conversation's text
+    turns2 = turns1.withColumn(
+        "text",
+        F.when(F.col("conv_id") == changed_conv,
+               F.concat(F.col("text"), F.lit(" plus fastapi and sqlalchemy changes")))
+        .otherwise(F.col("text")),
+    ).cache()
+    out2 = runner.run(turns2)
+    assert {r["conv_id"] for r in out2.select("conv_id").distinct().collect()} == {changed_conv}
+
+    # merged table: the changed conversation's rows are exactly this
+    # batch's output — old assignment rows replaced, not appended next to
+    merged = spark.read.parquet(state + "/clusters")
+    got = sorted(map(tuple, merged.where(F.col("conv_id") == changed_conv).collect()))
+    want = sorted(map(tuple, out2.collect()))
+    assert got == want
+    # unchanged conversations' rows are untouched
+    assert merged.where(F.col("conv_id") != changed_conv).count() == n_other_rows
+
+    # third run on identical input: watermark kept the NEW hash -> no work
+    out3 = runner.run(turns2)
+    assert out3.count() == 0

@@ -116,3 +116,31 @@ def test_streaming_windowed_agg(spark, tmp_path):
     # append mode emits only windows closed by the watermark
     assert got, "expected closed windows"
     assert all(r["n"] > 0 for r in got)
+
+
+def test_turtle_escaping_and_prefixes(spark, tmp_path):
+    """The .ttl output must declare every prefix it uses (rdf: was missing
+    in round 1) and escape quotes/backslashes in literals."""
+    from session_graph_spark.sources.sinks import PREFIXES, turtle_lines
+
+    assert "@prefix rdf:" in PREFIXES
+    reified = spark.createDataFrame(
+        [("postgres", "uses", "docker", 'conv-"quoted"\\backslash', 0, "abc123def456")],
+        ["subject", "predicate", "object", "conv_id", "turn_idx", "triple_id"],
+    )
+    line = turtle_lines(reified).collect()[0]["value"]
+    # every literal " inside the emitted string is escaped as \"
+    assert '\\"quoted\\"' in line
+    assert "\\\\backslash" in line
+    # no bare unescaped quote inside the literal (the value between the
+    # devkg:extractedFrom quotes parses as one token)
+    lit = line.split('devkg:extractedFrom "', 1)[1].rsplit('" .', 1)[0]
+    i, bare = 0, False
+    while i < len(lit):
+        if lit[i] == "\\":
+            i += 2
+            continue
+        if lit[i] == '"':
+            bare = True
+        i += 1
+    assert not bare
