@@ -66,6 +66,54 @@ def _events(spark: SparkSession, sf: str) -> DataFrame:
     return spark.read.parquet(f"{sf}/events.parquet")
 
 
+def _doc_triples(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic token-triple table over documents, shared by the
+    SPARQL-template driver queries (subject = token i, object = token
+    i+1, predicate from a doc-level cue word — the SQL-expressible
+    analog of the mention-based build_triples edges)."""
+    d = _docs(spark, sf)
+    lt = F.lower(F.col("text"))
+    pred = (
+        F.when(lt.contains("join"), F.lit("uses"))
+        .when(lt.contains("stream"), F.lit("integratesWith"))
+        .when(lt.contains("merge"), F.lit("composesWith"))
+        .otherwise(F.lit("relatedTo"))
+    )
+    w = F.split("text", " ")
+    n = F.least(F.size(w) - 1, F.lit(10))
+    t = d.select(
+        "doc_id", w.alias("w"), pred.alias("predicate"),
+        F.explode(
+            # guard: sequence(1, 0) would count DOWN in Spark
+            F.when(n >= 1, F.sequence(F.lit(1), n))
+            .otherwise(F.array().cast("array<int>"))
+        ).alias("i"),
+    )
+    return t.select(
+        "doc_id", "predicate",
+        F.element_at("w", F.col("i")).alias("subject"),
+        F.element_at("w", F.col("i") + 1).alias("object"),
+    ).where(
+        (F.length("subject") >= 3) & (F.length("object") >= 3)
+        & (F.col("subject") != F.col("object"))
+    )
+
+
+# DuckDB mirror of _doc_triples (list indexing, not unnest-order reliance)
+_TRIPLES_SQL = """
+    (SELECT doc_id, predicate, w[i] AS subject, w[i+1] AS object
+     FROM (SELECT doc_id, w, predicate,
+                  unnest(range(1, greatest(least(len(w)-1, 10), 0) + 1)) AS i
+           FROM (SELECT doc_id, string_split(text, ' ') AS w,
+                        CASE WHEN contains(lower(text), 'join') THEN 'uses'
+                             WHEN contains(lower(text), 'stream') THEN 'integratesWith'
+                             WHEN contains(lower(text), 'merge') THEN 'composesWith'
+                             ELSE 'relatedTo' END AS predicate
+                 FROM documents))
+     WHERE len(w[i]) >= 3 AND len(w[i+1]) >= 3 AND w[i] != w[i+1])
+"""
+
+
 # ---------------------------------------------------------------------------
 # queries
 # ---------------------------------------------------------------------------
@@ -358,6 +406,57 @@ def q_quality_features(spark, sf):
     ).orderBy("doc_id")
 
 
+def q_predicate_search(spark, sf):
+    """Template 3: what does 'spark' use? (predicate='uses', either end)."""
+    from session_graph_spark.queries import predicate_search
+
+    return predicate_search(_doc_triples(spark, sf), "uses", "spark")
+
+
+def q_entity_to_entity(spark, sf):
+    """Template 2: how does 'spark' relate to 'customer'?"""
+    from session_graph_spark.queries import entity_to_entity
+
+    return entity_to_entity(_doc_triples(spark, sf), "spark", "customer")
+
+
+def q_path_discovery(spark, sf):
+    """Template 12: 2-hop paths 'spark' -> mid -> 'vector' (3 direction
+    shapes unioned)."""
+    from session_graph_spark.queries import path_discovery
+
+    return path_discovery(_doc_triples(spark, sf), "spark", "vector")
+
+
+def q_sibling_entities(spark, sf):
+    """Template 14: entities sharing a (predicate, object) with 'spark'."""
+    from session_graph_spark.queries import sibling_entities
+
+    return sibling_entities(_doc_triples(spark, sf), "spark")
+
+
+def q_kb_linking(spark, sf):
+    """KB-linking ladder over distinct document tokens: exact 1.0 /
+    tech-keyword 0.8 / else 0.5, threshold 0.7 (reference
+    link_entities.py:517-545)."""
+    from session_graph_spark.operators.linking import kb_df, link_to_kb
+
+    labels = _tokens(spark, sf).select(F.col("token").alias("label"))
+    out = link_to_kb(labels, kb_df(spark), label_col="label")
+    return out.select(
+        "label", "kb_id", F.round("confidence", 2).alias("confidence"), "linked"
+    ).orderBy("label")
+
+
+def q_minhash_dedup_pairs(spark, sf):
+    """MinHash-LSH near-dup pairs verified by EXACT word-3-shingle
+    Jaccard >= 0.8 (oracle = all-pairs exact Jaccard in DuckDB; LSH must
+    achieve full recall at this threshold)."""
+    from session_graph_spark.operators.dedup import minhash_dedup_pairs
+
+    return minhash_dedup_pairs(_docs(spark, sf), threshold=0.8).orderBy("id_a", "id_b")
+
+
 # --- rows-only (non-SQL-expressible: pandas-UDF extraction, LSH, iterative CC)
 def q_er_clusters(spark, sf):
     """Full ER pipeline over turns derived from documents; returns the
@@ -378,6 +477,100 @@ def q_er_mentions(spark, sf):
     return m.select("conv_id", "turn_idx", "norm_label", "pos").orderBy(
         "conv_id", "turn_idx", "pos"
     )
+
+
+def _kb_linking_oracle() -> str:
+    """DuckDB mirror of link_to_kb: the gazetteer inlined as VALUES, the
+    same exact-1.0 / tech-keyword-0.8 / else-0.5 ladder, threshold 0.7."""
+    from session_graph_spark.operators.linking import KB_ENTRIES, TECH_KEYWORDS
+
+    rows = []
+    for kb_id, label, desc, aliases in KB_ENTRIES:
+        rows.append(f"('{label}', '{kb_id}', '{desc}', false)")
+        for a in aliases:
+            rows.append(f"('{a}', '{kb_id}', '{desc}', true)")
+    values = ",\n             ".join(rows)
+    kw = " OR ".join(f"contains(lower(description), '{k}')" for k in TECH_KEYWORDS)
+    return f"""
+        WITH q AS (SELECT DISTINCT lower(trim(token)) AS label FROM {_TOK_SQL}),
+             dim(match_key, kb_id, description, via_alias) AS (VALUES
+             {values}),
+             cand AS (SELECT q.label, d.kb_id, d.description, d.via_alias
+                      FROM q LEFT JOIN dim d ON q.label = d.match_key),
+             scored AS (SELECT label, kb_id,
+                          (CASE WHEN kb_id IS NULL THEN 0.0
+                                WHEN NOT via_alias THEN 1.0
+                                WHEN {kw} THEN 0.8
+                                ELSE 0.5 END)::DOUBLE AS confidence
+                        FROM cand),
+             best AS (SELECT label, kb_id, confidence,
+                             row_number() OVER (PARTITION BY label
+                                                ORDER BY confidence DESC, kb_id)
+                             AS rk
+                      FROM scored)
+        SELECT label,
+               CASE WHEN confidence >= 0.7 THEN kb_id END AS kb_id,
+               round(confidence, 2) AS confidence,
+               confidence >= 0.7 AS linked
+        FROM best WHERE rk = 1 ORDER BY label"""
+
+
+def _lang_id_oracle() -> str:
+    """DuckDB mirror of functions.text.lang_id: stopword-profile hits per
+    language over the distinct lowercase word set; ties break in profile
+    order (en, es, de, fr, pt) because the Python loop only replaces the
+    best on strictly-greater hits."""
+    from session_graph_spark.functions.text import _LANG_PROFILES
+
+    langs = list(_LANG_PROFILES)  # insertion order = tie-break order
+    hit_cols = ",\n                  ".join(
+        "len(list_intersect(wl, [" + ", ".join(f"'{w}'" for w in sorted(_LANG_PROFILES[lg]))
+        + f"])) AS h_{lg}"
+        for lg in langs
+    )
+    all_h = ", ".join(f"h_{lg}" for lg in langs)
+    case = [f"WHEN greatest({all_h}) = 0 THEN 'und'"]
+    for i, lg in enumerate(langs[:-1]):
+        conds = " AND ".join(f"h_{lg} >= h_{o}" for o in langs[i + 1:])
+        case.append(f"WHEN {conds} THEN '{lg}'")
+    case_sql = "\n               ".join(case)
+    return f"""
+        WITH t AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS wl
+                   FROM documents),
+             h AS (SELECT doc_id,
+                  {hit_cols}
+                   FROM t)
+        SELECT doc_id,
+               CASE {case_sql}
+                    ELSE '{langs[-1]}' END AS lang_pred
+        FROM h ORDER BY doc_id"""
+
+
+def _quality_features_oracle() -> str:
+    """DuckDB mirror of functions.text.quality_features (the en-profile
+    stopword ratio + punct ratio + the 0.4/0.3/0.3 score blend over the
+    ROUNDED intermediate columns, exactly as the Column code computes)."""
+    from session_graph_spark.functions.text import _LANG_PROFILES
+
+    en = ", ".join(f"'{w}'" for w in sorted(_LANG_PROFILES["en"]))
+    return f"""
+        WITH b AS (SELECT doc_id,
+                          regexp_split_to_array(text, '\\s+') AS toks,
+                          length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS punct,
+                          greatest(length(text), 1) AS nc
+                   FROM documents),
+             c AS (SELECT doc_id,
+                          len(toks) AS n_tokens_q,
+                          round(punct * 1.0 / nc, 4) AS punct_ratio,
+                          round(len(list_filter(toks, x -> lower(x) IN ({en}))) * 1.0
+                                / greatest(len(toks), 1), 4) AS stopword_ratio_en
+                   FROM b)
+        SELECT doc_id, n_tokens_q, punct_ratio, stopword_ratio_en,
+               floor((least(n_tokens_q / 50.0, 1.0) * 0.4
+                      + (1 - least(punct_ratio * 4, 1.0)) * 0.3
+                      + least(stopword_ratio_en * 5, 1.0) * 0.3) * 10000 + 0.5)
+               / 10000 AS quality_score
+        FROM c ORDER BY doc_id"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -402,6 +595,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "ann_topk": q_ann_topk,
         "embedding_label_counts": q_embedding_label_counts,
+        "predicate_search": q_predicate_search,
+        "entity_to_entity": q_entity_to_entity,
+        "path_discovery": q_path_discovery,
+        "sibling_entities": q_sibling_entities,
+        "kb_linking": q_kb_linking,
+        "minhash_dedup_pairs": q_minhash_dedup_pairs,
         "er_clusters": q_er_clusters,
         "er_mentions": q_er_mentions,
         "triple_hubs": q_triple_hubs,
@@ -522,6 +721,65 @@ def oracle_sql() -> dict[str, str]:
         "embedding_label_counts": """
             SELECT label, count(*) AS n_vecs FROM embeddings
             GROUP BY label ORDER BY label""",
-        # er_clusters / er_mentions: non-SQL-expressible (pandas-UDF
-        # extraction, MinHash-LSH, iterative CC) -> rows-only check
+        "predicate_search": f"""
+            SELECT DISTINCT subject, object FROM {_TRIPLES_SQL}
+            WHERE predicate = 'uses'
+              AND (contains(subject, 'spark') OR contains(object, 'spark'))
+            ORDER BY subject, object""",
+        "entity_to_entity": f"""
+            SELECT DISTINCT predicate FROM {_TRIPLES_SQL}
+            WHERE contains(subject, 'spark') AND contains(object, 'customer')
+            ORDER BY predicate""",
+        "path_discovery": f"""
+            WITH e AS (SELECT subject, predicate, object FROM {_TRIPLES_SQL}),
+                 arms AS (
+                   SELECT t1.predicate AS p1, t1.object AS mid, t2.predicate AS p2,
+                          t1.subject AS a, t2.object AS b
+                   FROM e t1 JOIN e t2 ON t1.object = t2.subject
+                   WHERE contains(t1.subject, 'spark') AND contains(t2.object, 'vector')
+                   UNION ALL
+                   SELECT t1.predicate, t1.subject, t2.predicate,
+                          t1.object, t2.object
+                   FROM e t1 JOIN e t2 ON t1.subject = t2.subject
+                   WHERE contains(t1.object, 'spark') AND contains(t2.object, 'vector')
+                   UNION ALL
+                   SELECT t1.predicate, t1.object, t2.predicate,
+                          t1.subject, t2.subject
+                   FROM e t1 JOIN e t2 ON t1.object = t2.object
+                   WHERE contains(t1.subject, 'spark') AND contains(t2.subject, 'vector'))
+            SELECT DISTINCT p1, mid, p2 FROM arms
+            WHERE a != b AND a != mid AND mid != b
+            ORDER BY p1, mid, p2""",
+        "sibling_entities": f"""
+            WITH e AS (SELECT DISTINCT subject, predicate, object FROM {_TRIPLES_SQL}),
+                 xe AS (SELECT DISTINCT predicate, object AS shared, subject AS x_subj
+                        FROM e WHERE contains(subject, 'spark')),
+                 sib AS (SELECT DISTINCT subject AS sibling, predicate,
+                                object AS shared FROM e)
+            SELECT DISTINCT sibling, predicate, shared
+            FROM sib JOIN xe USING (predicate, shared)
+            WHERE sibling != x_subj
+            ORDER BY predicate, shared, sibling""",
+        "kb_linking": _kb_linking_oracle(),
+        "minhash_dedup_pairs": """
+            WITH d AS (SELECT doc_id,
+                         list_distinct(
+                           CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                                ELSE list_transform(range(1, len(ws)-1),
+                                       i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))
+                           END) AS sh
+                       FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                             FROM documents)),
+                 p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                              len(list_intersect(a.sh, b.sh)) * 1.0
+                              / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1)
+                              AS j
+                       FROM d a JOIN d b ON a.doc_id < b.doc_id)
+            SELECT id_a, id_b, round(j, 6) AS jaccard
+            FROM p WHERE j >= 0.8 ORDER BY id_a, id_b""",
+        "lang_id": _lang_id_oracle(),
+        "quality_features": _quality_features_oracle(),
+        # er_clusters / er_mentions / triple_hubs / minhash_dedup_groups /
+        # ann_lsh_topk: non-SQL-expressible (pandas-UDF extraction,
+        # MinHash-LSH recall, iterative CC, approximate ANN) -> rows-only
     }

@@ -66,7 +66,14 @@ def quality_features(df, text_col: str = "text"):
         + (1 - F.least(F.col("punct_ratio") * 4, F.lit(1.0))) * 0.3
         + F.least(F.col("stopword_ratio_en") * 5, F.lit(1.0)) * 0.3
     )
-    return out.withColumn("quality_score", F.round(score, 4))
+    # floor(x*1e4+0.5)/1e4 instead of round(x, 4): the blend of 4dp-rounded
+    # inputs lands exactly on .00005 boundaries where engines disagree on
+    # half-rounding of doubles; this form is pure IEEE754 arithmetic and
+    # reproduces bit-identically anywhere (the DuckDB oracle uses the same
+    # expression)
+    return out.withColumn(
+        "quality_score", F.floor(score * 10000 + F.lit(0.5)) / 10000
+    )
 
 
 def _lang_id_batch(texts: pd.Series) -> pd.Series:

@@ -149,6 +149,77 @@ def minhash_lsh_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "do
     )
 
 
+def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", n_hashes: int = 128,
+                            bands: int = 32, shingle_k: int = 3) -> DataFrame:
+    """LSH candidate (id_a, id_b) pairs from banded MinHash signatures
+    (bucket-capped)."""
+    sigs = minhash_signatures(docs, text_col, id_col, n_hashes, shingle_k)
+    r = n_hashes // bands
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.concat_ws("-", F.slice("sig", i * r + 1, r)),
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    banded = _cap_buckets(banded, ["band_idx", "band_key"])
+    return (
+        banded.alias("x").join(banded.alias("y"),
+                               (F.col("x.band_idx") == F.col("y.band_idx"))
+                               & (F.col("x.band_key") == F.col("y.band_key"))
+                               & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+
+def word_shingle_jaccard(pairs_with_text: DataFrame, shingle_k: int = 3,
+                         text_a: str = "text_a", text_b: str = "text_b") -> DataFrame:
+    """Adds the exact word-k-shingle Jaccard column (Arrow kernel) — the
+    verification step run only on LSH candidates, never all pairs."""
+
+    @F.pandas_udf("double")
+    def _j(a: pd.Series, b: pd.Series) -> pd.Series:  # pragma: no cover
+        def sh(s: str) -> set[str]:
+            words = str(s).lower().split()
+            if len(words) < shingle_k:
+                return {" ".join(words)} if words else set()
+            return {" ".join(words[i:i + shingle_k])
+                    for i in range(len(words) - shingle_k + 1)}
+        out = np.empty(len(a))
+        av, bv = a.fillna(""), b.fillna("")
+        for i in range(len(a)):
+            ga, gb = sh(av.iat[i]), sh(bv.iat[i])
+            out[i] = len(ga & gb) / max(len(ga | gb), 1)
+        return pd.Series(out, index=a.index)
+
+    return pairs_with_text.withColumn("jaccard", _j(F.col(text_a), F.col(text_b)))
+
+
+def minhash_dedup_pairs(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n_hashes: int = 128,
+                        bands: int = 32, shingle_k: int = 3,
+                        threshold: float = 0.8) -> DataFrame:
+    """Near-dup PAIRS with exact Jaccard: LSH candidate generation, then
+    true word-shingle Jaccard verification >= threshold. This is the
+    oracle-checkable form (exact-Jaccard semantics, approximation only in
+    recall); `minhash_lsh_dedup` keeps the cheaper estimated-Jaccard
+    verify + CC grouping."""
+    d = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    cand = minhash_candidate_pairs(d, "text", "doc_id", n_hashes, bands, shingle_k)
+    ta = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+    tb = d.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
+    with_text = cand.join(ta, "id_a").join(tb, "id_b")
+    return (
+        word_shingle_jaccard(with_text, shingle_k)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------

@@ -130,6 +130,98 @@ def session_timeline(turns: DataFrame) -> DataFrame:
     )
 
 
+def predicate_search(edges: DataFrame, predicate: str, entity_substr: str) -> DataFrame:
+    """Template 3 — "What uses/enables/solves X?": distinct (subject,
+    object) pairs of one predicate where either end contains the entity
+    (reference SKILL.md:189-204). The predicate filter prunes before the
+    contains scan; both push into the edge-table scan."""
+    return (
+        edges.where(
+            (F.col("predicate") == predicate)
+            & (F.col("subject").contains(entity_substr)
+               | F.col("object").contains(entity_substr))
+        )
+        .select("subject", "object").distinct()
+        .orderBy("subject", "object")
+    )
+
+
+def entity_to_entity(edges: DataFrame, x: str, y: str) -> DataFrame:
+    """Template 2 — "How does X relate to Y?": distinct predicates on
+    edges whose subject contains x and object contains y
+    (reference SKILL.md:170-187)."""
+    return (
+        edges.where(F.col("subject").contains(x) & F.col("object").contains(y))
+        .select("predicate").distinct()
+        .orderBy("predicate")
+    )
+
+
+def path_discovery(edges: DataFrame, x: str, y: str) -> DataFrame:
+    """Template 12 — "How does X connect to Y?": 2-hop paths in the three
+    direction shapes of the reference union (a->mid->b, mid->a & mid->b,
+    a->mid & b->mid; SKILL.md:359-403), returned as distinct
+    (p1, mid, p2). Each union arm filters to the two endpoint entities
+    FIRST, so the join is tiny-side x tiny-side — never the full edge
+    self-join."""
+    e = edges.select("subject", "predicate", "object")
+
+    def ends_x(col):  # entity filter, reference CONTAINS(LCASE(label))
+        return F.col(col).contains(x)
+
+    def ends_y(col):
+        return F.col(col).contains(y)
+
+    fwd_x = e.where(ends_x("subject")).select(
+        F.col("predicate").alias("p1"), F.col("object").alias("mid"),
+        F.col("subject").alias("a"))
+    rev_x = e.where(ends_x("object")).select(
+        F.col("predicate").alias("p1"), F.col("subject").alias("mid"),
+        F.col("object").alias("a"))
+    fwd_y = e.where(ends_y("object")).select(
+        F.col("predicate").alias("p2"), F.col("subject").alias("mid2"),
+        F.col("object").alias("b"))
+    rev_y = e.where(ends_y("subject")).select(
+        F.col("predicate").alias("p2"), F.col("object").alias("mid2"),
+        F.col("subject").alias("b"))
+
+    # arm 1: a -> mid -> b ; arm 2: mid -> a, mid -> b ; arm 3: a -> mid <- b
+    arm1 = fwd_x.join(fwd_y, fwd_x.mid == fwd_y.mid2)
+    arm2 = rev_x.join(fwd_y, rev_x.mid == fwd_y.mid2)
+    arm3 = fwd_x.join(rev_y, fwd_x.mid == rev_y.mid2)
+    out = None
+    for arm in (arm1, arm2, arm3):
+        part = arm.where(
+            (F.col("a") != F.col("b")) & (F.col("a") != F.col("mid"))
+            & (F.col("mid") != F.col("b"))
+        ).select("p1", "mid", "p2")
+        out = part if out is None else out.unionByName(part)
+    return out.distinct().orderBy("p1", "mid", "p2")
+
+
+def sibling_entities(edges: DataFrame, x: str) -> DataFrame:
+    """Template 14 — "What else uses the same thing as X?": entities that
+    share a (predicate, object) neighbor with x (reference
+    SKILL.md:426-451). x's own edges are filtered before the join, so
+    the expansion is shared-neighbor-sized, not edge-table-sized."""
+    xe = (
+        edges.where(F.col("subject").contains(x))
+        .select("predicate", F.col("object").alias("shared"),
+                F.col("subject").alias("x_subj"))
+        .distinct()
+    )
+    sib = edges.select(
+        F.col("subject").alias("sibling"), "predicate",
+        F.col("object").alias("shared"),
+    ).distinct()
+    return (
+        sib.join(xe, ["predicate", "shared"])
+        .where(F.col("sibling") != F.col("x_subj"))
+        .select("sibling", "predicate", "shared").distinct()
+        .orderBy("predicate", "shared", "sibling")
+    )
+
+
 def two_hop_neighbors(mentions: DataFrame, label: str, k: int = 20) -> DataFrame:
     """Template path query: entities co-occurring with entities that
     co-occur with `label` (2-hop over the co-mention graph)."""

@@ -213,3 +213,19 @@ def test_min_output_filter(spark):
     assert kept.count() == 3
     # min_rows=1 keeps everything
     assert min_output_filter(m, min_rows=1).count() == 4
+
+
+def test_minhash_dedup_pairs_exact_jaccard(spark, docs):
+    """Pairs form: LSH recall + exact word-shingle Jaccard verification
+    must find the planted near-dups with their true scores."""
+    from session_graph_spark.operators.dedup import minhash_dedup_pairs
+
+    pairs = minhash_dedup_pairs(docs, threshold=0.8).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    # planted exact dups (j = 1.0) must be present
+    for r in docs.where(F.col("doc_id") >= 1000).where(F.col("doc_id") < 2000).collect():
+        assert (r["doc_id"] - 1000, r["doc_id"]) in got
+    assert all(r["jaccard"] >= 0.8 for r in pairs)
+    exact = [r for r in pairs if r["id_b"] >= 1000 and r["id_b"] < 2000
+             and r["id_a"] == r["id_b"] - 1000]
+    assert all(r["jaccard"] == 1.0 for r in exact)

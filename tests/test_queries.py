@@ -86,3 +86,86 @@ def test_two_hop(ctx):
     label = mc.groupBy("cluster_id").count().orderBy(F.desc("count")).first()["cluster_id"]
     rows = Q.two_hop_neighbors(mc, label, k=10).collect()
     assert all(r["cluster_id"] != label for r in rows)
+
+
+@pytest.fixture(scope="module")
+def edges(spark, ctx):
+    from session_graph_spark.operators.triples import build_triples
+
+    turns, mc = ctx
+    return build_triples(mc, turns)["edges"].cache()
+
+
+def test_predicate_search(edges):
+    """Template 3: hand-check against a direct filter of the edge table."""
+    pred = edges.groupBy("predicate").count().orderBy(F.desc("count")).first()["predicate"]
+    ent = edges.where(F.col("predicate") == pred).first()["subject"]
+    rows = Q.predicate_search(edges, pred, ent).collect()
+    assert rows
+    assert all(ent in r["subject"] or ent in r["object"] for r in rows)
+    want = {
+        (r["subject"], r["object"])
+        for r in edges.where(F.col("predicate") == pred).collect()
+        if ent in r["subject"] or ent in r["object"]
+    }
+    assert {(r["subject"], r["object"]) for r in rows} == want
+
+
+def test_entity_to_entity(edges):
+    e = edges.first()
+    rows = Q.entity_to_entity(edges, e["subject"], e["object"]).collect()
+    preds = {r["predicate"] for r in rows}
+    assert e["predicate"] in preds
+    want = {
+        r["predicate"] for r in edges.collect()
+        if e["subject"] in r["subject"] and e["object"] in r["object"]
+    }
+    assert preds == want
+
+
+def test_path_discovery(edges):
+    """2-hop connectivity: a->mid->b path planted by taking two chained
+    edges; results must include it and never echo the endpoints as mid."""
+    e1 = edges.first()
+    hop2 = edges.where(
+        (F.col("subject") == e1["object"]) & (F.col("object") != e1["subject"])
+    ).first()
+    if hop2 is None:
+        pytest.skip("corpus produced no 2-hop chain from the first edge")
+    x, y, mid = e1["subject"], hop2["object"], e1["object"]
+    rows = Q.path_discovery(edges, x, y).collect()
+    assert any(r["mid"] == mid for r in rows)
+    assert all(x not in r["mid"] and y not in r["mid"] for r in rows)
+
+
+def test_sibling_entities(edges):
+    # pick an x that provably has a sibling: a (predicate, object) pair
+    # with >= 2 distinct subjects
+    shared = (
+        edges.groupBy("predicate", "object")
+        .agg(F.countDistinct("subject").alias("n"))
+        .where(F.col("n") >= 2).first()
+    )
+    x = edges.where(
+        (F.col("predicate") == shared["predicate"])
+        & (F.col("object") == shared["object"])
+    ).first()["subject"]
+    rows = Q.sibling_entities(edges, x).collect()
+    assert rows
+    # every sibling shares (predicate, shared) with one of x's edges
+    x_edges = {
+        (r["predicate"], r["object"])
+        for r in edges.where(F.col("subject").contains(x)).collect()
+    }
+    for r in rows:
+        assert (r["predicate"], r["shared"]) in x_edges
+        assert not r["sibling"] == x
+
+
+def test_two_hop_neighbors_pruned_plan(ctx):
+    """The co-mention expansion must be pruned by hop1 BEFORE the big
+    self-join (round-1 finding: full O(sum d_c^2) shuffle)."""
+    _, mc = ctx
+    label = mc.first()["cluster_id"]
+    plan = Q.two_hop_neighbors(mc, label)._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" in plan
