@@ -76,6 +76,12 @@ ENTITY_VARIANTS: dict[str, list[str]] = {
     "ansible": ["ansible", "ansibel"],
     "webpack": ["webpack", "webpck"],
     "tailwind": ["tailwind", "tailwnd"],
+    # round-2 plantings exercising the expanded alias dimension
+    "ruby on rails": ["ruby on rails", "rails", "ror"],
+    "apache flink": ["apache flink", "flink"],
+    "duckdb": ["duckdb", "duck db", "duckdbb"],
+    "github actions": ["github actions", "gh actions"],
+    "clickhouse": ["clickhouse", "clickhose"],
 }
 
 # confusable cross-entity pairs: must NOT co-cluster (score < 0.7). These
@@ -183,17 +189,16 @@ def generate_turns_pdf(
                 templates = _ASSISTANT_TEMPLATES if role == "assistant" else _USER_TEMPLATES
                 tpl = rng.choice(templates)
                 n_slots = tpl.count("{e")
+                # template slots take random PRIMARY forms only; the
+                # scheduled plantings are emitted in dedicated short
+                # assistant turns below, where they always sit within the
+                # first-10-mentions extraction cap (a long template
+                # sentence can push a late entity slot past the cap,
+                # silently dropping the planting)
                 ents = []
                 for _ in range(n_slots):
-                    # scheduled plantings go ONLY into assistant turns —
-                    # extraction is assistant-only (P4), so a planting in a
-                    # user turn would silently vanish
-                    if role == "assistant" and pi < len(planted):
-                        ents.append(planted[pi])
-                        pi += 1
-                    else:
-                        canon = rng.choices(canonicals, weights=weights, k=1)[0]
-                        ents.append(ENTITY_VARIANTS[canon][0])
+                    canon = rng.choices(canonicals, weights=weights, k=1)[0]
+                    ents.append(ENTITY_VARIANTS[canon][0])
                 noise = rng.choice(NOISE_TOKENS)
                 fmt = {f"e{i}": e for i, e in enumerate(ents)}
                 fmt["n0"] = noise
@@ -204,7 +209,9 @@ def generate_turns_pdf(
                 dict(conv_id=conv_id, turn_idx=ti, role=role, text=text, tool=tool,
                      ts=ts, platform=platform, source_file=source_file)
             )
-        # leftover planted entities get appended as extra assistant turns
+        # ALL planted entities are emitted as dedicated assistant turns
+        # (extraction is assistant-only, P4; two entities per turn keeps
+        # them well inside the per-turn mention cap, T1)
         while pi < len(planted):
             take = planted[pi : pi + 2]
             pi += 2

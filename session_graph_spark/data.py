@@ -120,6 +120,132 @@ ALIAS_MAP: dict[str, str] = {
     "airflow": "apache airflow",
     "iceberg": "apache iceberg",
     "apache iceberg": "apache iceberg",
+    # --- round-2 expansion toward reference coverage (161 entries) ------
+    # cloud / infra abbreviations
+    "ec2": "amazon ec2",
+    "s3": "amazon s3",
+    "rds": "amazon rds",
+    "eks": "amazon eks",
+    "gke": "google kubernetes engine",
+    "aks": "azure kubernetes service",
+    "aws lambda": "aws lambda",
+    "fargate": "aws fargate",
+    "cloudformation": "aws cloudformation",
+    "iam": "identity and access management",
+    "vpc": "virtual private cloud",
+    "sso": "single sign-on",
+    "jwt": "json web token",
+    "tls": "transport layer security",
+    "ssl": "transport layer security",
+    "oauth2": "oauth",
+    "oauth 2.0": "oauth",
+    "cicd": "continuous integration",
+    "ci/cd": "continuous integration",
+    # editors / dev tools
+    "vsc": "visual studio code",
+    "pycharm": "pycharm",
+    "intellij idea": "intellij",
+    "neovim": "neovim",
+    "nvim": "neovim",
+    "vim": "vim",
+    "emacs": "emacs",
+    "jupyter": "jupyter",
+    "jupyter notebook": "jupyter",
+    "jupyterlab": "jupyter",
+    "github actions": "github actions",
+    "gh actions": "github actions",
+    "gitlab ci": "gitlab ci",
+    "circleci": "circleci",
+    "argocd": "argocd",
+    "argo cd": "argocd",
+    "helm": "helm",
+    "istio": "istio",
+    "envoy": "envoy",
+    "etcd": "etcd",
+    "consul": "consul",
+    "hashicorp vault": "hashicorp vault",
+    "pulumi": "pulumi",
+    # frameworks / libraries
+    "angular": "angular",
+    "angularjs": "angular",
+    "angular.js": "angular",
+    "svelte": "svelte",
+    "sveltekit": "svelte",
+    "express.js": "express",
+    "expressjs": "express",
+    "nestjs": "nestjs",
+    "nest.js": "nestjs",
+    "spring boot": "spring boot",
+    "springboot": "spring boot",
+    "ruby on rails": "ruby on rails",
+    "rails": "ruby on rails",
+    "ror": "ruby on rails",
+    "laravel": "laravel",
+    ".net": ".net",
+    "dotnet": ".net",
+    "asp.net": ".net",
+    "numpy": "numpy",
+    "matplotlib": "matplotlib",
+    "tailwindcss": "tailwind",
+    "tailwind css": "tailwind",
+    "bootstrap": "bootstrap",
+    "jquery": "jquery",
+    "three.js": "three.js",
+    "threejs": "three.js",
+    "d3.js": "d3",
+    "d3js": "d3",
+    "huggingface": "huggingface",
+    "hugging face": "huggingface",
+    "langchain": "langchain",
+    "stable diffusion": "stable diffusion",
+    # databases / data systems
+    "sql server": "sql server",
+    "sqlserver": "sql server",
+    "mssql": "sql server",
+    "mariadb": "mariadb",
+    "cockroachdb": "cockroachdb",
+    "dynamodb": "dynamodb",
+    "cassandra": "apache cassandra",
+    "apache cassandra": "apache cassandra",
+    "clickhouse": "clickhouse",
+    "duckdb": "duckdb",
+    "duck db": "duckdb",
+    "snowflake": "snowflake",
+    "bigquery": "google bigquery",
+    "google bigquery": "google bigquery",
+    "redshift": "amazon redshift",
+    "memcached": "memcached",
+    "zookeeper": "apache zookeeper",
+    "apache zookeeper": "apache zookeeper",
+    "flink": "apache flink",
+    "apache flink": "apache flink",
+    "apache beam": "apache beam",
+    "hadoop": "apache hadoop",
+    "apache hadoop": "apache hadoop",
+    "hdfs": "apache hadoop",
+    "hive": "apache hive",
+    "apache hive": "apache hive",
+    "trino": "trino",
+    "presto": "trino",
+    "delta lake": "delta lake",
+    "deltalake": "delta lake",
+    "apache parquet": "apache parquet",
+    "parquet": "apache parquet",
+    "apache arrow": "apache arrow",
+    "pyarrow": "apache arrow",
+    "avro": "apache avro",
+    # concepts
+    "cnn": "convolutional neural network",
+    "rnn": "recurrent neural network",
+    "gan": "generative adversarial network",
+    "etl": "extract transform load",
+    "olap": "online analytical processing",
+    "oltp": "online transaction processing",
+    "orm": "object-relational mapping",
+    "mvc": "model-view-controller",
+    "tdd": "test-driven development",
+    "grpc": "grpc",
+    "rpc": "remote procedure call",
 }
 
 
