@@ -435,6 +435,15 @@ def q_sibling_entities(spark, sf):
     return sibling_entities(_doc_triples(spark, sf), "spark")
 
 
+def q_topic_search(spark, sf):
+    """Template 5: documents (session analog) whose tokens contain the
+    topic substring, with their metadata."""
+    t = _tokens(spark, sf).where(F.col("token").contains("spark"))
+    convs = t.select("doc_id").distinct()
+    meta = _docs(spark, sf).select("doc_id", "source", "lang")
+    return convs.join(meta, "doc_id").orderBy("doc_id")
+
+
 def q_kb_linking(spark, sf):
     """KB-linking ladder over distinct document tokens: exact 1.0 /
     tech-keyword 0.8 / else 0.5, threshold 0.7 (reference
@@ -599,6 +608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_to_entity": q_entity_to_entity,
         "path_discovery": q_path_discovery,
         "sibling_entities": q_sibling_entities,
+        "topic_search": q_topic_search,
         "kb_linking": q_kb_linking,
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
         "er_clusters": q_er_clusters,
@@ -760,6 +770,11 @@ def oracle_sql() -> dict[str, str]:
             FROM sib JOIN xe USING (predicate, shared)
             WHERE sibling != x_subj
             ORDER BY predicate, shared, sibling""",
+        "topic_search": f"""
+            SELECT doc_id, source, lang FROM documents
+            WHERE doc_id IN (SELECT DISTINCT doc_id FROM {_TOK_SQL}
+                             WHERE contains(token, 'spark'))
+            ORDER BY doc_id""",
         "kb_linking": _kb_linking_oracle(),
         "minhash_dedup_pairs": """
             WITH d AS (SELECT doc_id,

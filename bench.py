@@ -46,7 +46,7 @@ def main() -> None:
     # input; cached by (n_convs, seed) — generation is deterministic, so
     # repeated runs (scaling reps) reuse the same files
     n_convs = max(300, int(1_800_000 * sf))
-    turns_path = f"/tmp/spark_graft_corpus_{n_convs}_42"
+    turns_path = f"/tmp/spark_graft_corpus_{corpus.corpus_cache_key(n_convs, 42)}"
     tmp = None
     if not os.path.exists(os.path.join(turns_path, "_SUCCESS")):
         corpus.generate_turns_distributed(spark, n_convs=n_convs, seed=42,

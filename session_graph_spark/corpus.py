@@ -133,6 +133,23 @@ _USER_TEMPLATES = [
 _SHORT_TURNS = ["ok", "thanks", "yes do it", "lgtm", "retry", "hm"]
 
 
+# bump whenever the turn-construction logic changes (the cache key can't
+# see code changes, only the entity schedule)
+GENERATOR_VERSION = 2
+
+
+def corpus_cache_key(n_convs: int, seed: int) -> str:
+    """Cache key for materialized corpora: includes a content hash of the
+    planted-entity schedule so generator changes invalidate stale caches
+    (a bare (n_convs, seed) key silently reused pre-change corpora)."""
+    import hashlib
+
+    h = hashlib.md5(
+        (repr(sorted(ENTITY_VARIANTS.items())) + f"|gen={GENERATOR_VERSION}").encode()
+    ).hexdigest()[:8]
+    return f"{n_convs}_{seed}_{h}"
+
+
 def _zipf_weights(n: int, s: float = 1.1) -> list[float]:
     return [1.0 / (i + 1) ** s for i in range(n)]
 
@@ -292,13 +309,12 @@ def _conversation_rows(ci: int, n_convs: int, seed: int, min_plants: int,
             text = rng.choice(_SHORT_TURNS)
         else:
             tpl = rng.choice(_ASSISTANT_TEMPLATES if role == "assistant" else _USER_TEMPLATES)
+            # template slots take random primary forms; scheduled plantings
+            # all go to the dedicated turns below (within the mention cap)
             ents = []
             for _ in range(tpl.count("{e")):
-                if role == "assistant" and pi < len(planted):
-                    ents.append(planted[pi]); pi += 1
-                else:
-                    canon = rng.choices(canonicals, weights=weights, k=1)[0]
-                    ents.append(ENTITY_VARIANTS[canon][0])
+                canon = rng.choices(canonicals, weights=weights, k=1)[0]
+                ents.append(ENTITY_VARIANTS[canon][0])
             fmt = {f"e{i}": e for i, e in enumerate(ents)}
             fmt["n0"] = rng.choice(NOISE_TOKENS)
             text = tpl.format(**fmt)

@@ -28,17 +28,48 @@ MAX_MENTIONS_PER_TURN = 10
 EXTRACT_INPUT_MAX_CHARS = 1500  # reference truncates extraction input (N7)
 
 # phrase gazetteer: multi-word / dotted surface forms from the alias
-# dimension (both surface and canonical sides), longest first so e.g.
-# "visual studio code" wins over "studio".
+# dimension (both surface and canonical sides)
 _PHRASES = sorted(
     {s for kv in ALIAS_MAP.items() for s in kv if (" " in s or "." in s)},
     key=len,
     reverse=True,
 )
-# text is lowercased before matching (IGNORECASE on a 60-way alternation
-# costs ~3x in CPython re)
+
+
+def _trie_pattern(words: list[str]) -> str:
+    """Common-prefix-factored alternation (trie regex).
+
+    A flat `a|b|c|...` alternation costs O(|dictionary|) alternative
+    probes per text position in both Java and CPython regex engines — the
+    scan gets linearly slower every time the alias dimension grows. The
+    trie form bounds per-position cost by the trie's branching factor
+    instead. Branches are disjoint by construction (first differing
+    char), and a node that is both a word-end and a prefix emits a greedy
+    optional suffix, so the longest phrase still wins — the same
+    semantics as a longest-first alternation."""
+    trie: dict = {}
+    for w in words:
+        node = trie
+        for ch in w:
+            node = node.setdefault(ch, {})
+        node["\0"] = {}  # end-of-word marker
+
+    def emit(node: dict) -> str:
+        end = "\0" in node
+        alts = [re.escape(ch) + emit(child)
+                for ch, child in sorted(node.items()) if ch != "\0"]
+        if not alts:
+            return ""
+        if len(alts) == 1:
+            return alts[0] if not end else "(?:" + alts[0] + ")?"
+        return "(?:" + "|".join(alts) + (")?" if end else ")")
+
+    return emit(trie)
+
+
+# text is lowercased before matching (IGNORECASE costs ~3x in CPython re)
 _PHRASE_RE = re.compile(
-    r"(?<![\w.])(" + "|".join(re.escape(p) for p in _PHRASES) + r")(?!\w)"
+    r"(?<![\w.])(" + _trie_pattern(_PHRASES) + r")(?!\w)"
 )
 _TOKEN_RE = re.compile(r"\S+")
 

@@ -176,6 +176,25 @@ def link_to_kb(
     return best
 
 
+def link_clusters(clusters: DataFrame, kb: DataFrame | None = None,
+                  cache: DataFrame | None = None,
+                  threshold: float = CONFIDENCE_THRESHOLD) -> DataFrame:
+    """Post-clustering link step (the reference pipeline order:
+    link_entities runs over the resolved entity list, link_entities.py
+    main flow): one row per cluster canonical label with its KB decision.
+
+    `clusters` is ResolutionResult.clusters (label, cluster_id); the
+    canonical label of a cluster is its cluster_id (min-label canonical),
+    so linking runs once per CLUSTER, not once per surface form — at
+    100TB the link join sees only distinct canonical labels."""
+    spark = clusters.sparkSession
+    kb = kb if kb is not None else kb_df(spark)
+    canon = clusters.select(F.col("cluster_id").alias("label")).distinct()
+    linked = link_to_kb(canon, kb, label_col="label", threshold=threshold,
+                        cache=cache)
+    return linked.withColumnRenamed("label", "cluster_id")
+
+
 def same_as_edges(linked: DataFrame) -> DataFrame:
     """owl:sameAs-style output (label, same_as) for linked labels only
     (reference writes devkg entity owl:sameAs wd:QID)."""

@@ -61,17 +61,26 @@ def prepare_turns(turns: DataFrame) -> DataFrame:
     return t
 
 
-def mentions_from_turns(turns: DataFrame) -> DataFrame:
-    """M1: extraction input filters + U2 dedup + deterministic extraction.
+def mentions_from_turns(turns: DataFrame, dedup_turns: bool = False) -> DataFrame:
+    """M1: extraction input filters + deterministic extraction.
 
-    Order matters for shuffle volume: filter (P3/P4) and prune to the five
-    extraction columns FIRST, then dropDuplicates on (conv_id, turn_idx) —
-    Catalyst will not reorder a user dedup through filters itself."""
+    dedup_turns=True adds a defensive dropDuplicates on (conv_id,
+    turn_idx) for at-least-once sources. It is OFF by default: turn
+    identity is the ingest layer's contract — the readers emit unique
+    (conv_id, turn_idx) by construction and the watermark path (P12/ST3)
+    dedups re-delivered conversations — and the reference likewise
+    enforces set semantics at the graph (triple ids), not by rescanning
+    messages. The dedup is a full shuffle of the text column, the single
+    largest byte-shuffle in the pipeline at 10^7+ turns, so paying it to
+    re-assert a guarantee the source already gives is anti-scale. When
+    enabled, filters (P3/P4) and the five-column projection still come
+    first so the shuffle moves only assistant turns' projected columns."""
     base = turns.where(Flt.assistant_only() & Flt.min_length_filter())
     if "platform" not in base.columns:
         base = base.withColumn("platform", F.lit("unknown"))
     base = base.select("conv_id", "turn_idx", "platform", "ts", "text")
-    base = base.dropDuplicates(["conv_id", "turn_idx"])
+    if dedup_turns:
+        base = base.dropDuplicates(["conv_id", "turn_idx"])
     return extract_mentions(base)
 
 
@@ -84,12 +93,16 @@ def normalized_labels(
     Curated alias canonicals bypass L2 (whitelist semantics): a canonical
     like 'node.js' would otherwise hit the file-extension rule even though
     it is a known-good dictionary entry."""
-    # shrink FIRST: distinct (conv, norm_label) partial-aggregates map-side
-    # before any shuffle, so the alias join and session count run over
-    # label-conversation pairs (10^6-ish), never mention occurrences
-    # (10^9+). The L2 UDF then runs on distinct labels only (hundreds).
-    pairs = mentions.select("conv_id", "norm_label").dropDuplicates()
-    pairs = apply_aliases(pairs, aliases, label_col="norm_label", out_col="canon_label")
+    # Alias-join FIRST, then ONE distinct. The alias dim is broadcast, so
+    # the join is map-side and shuffle-free — a distinct *before* it (the
+    # round-1 shape) spends a full extra shuffle of mention-level rows to
+    # shrink the input of a join that never shuffles anyway. Profiling at
+    # 11M mentions showed that second dedup shuffle dominating the stage
+    # and refusing to scale (shuffle I/O is memory-bandwidth-bound). The
+    # single distinct still partial-aggregates map-side before its one
+    # exchange, and the L2 UDF still runs on distinct labels (hundreds).
+    pairs = apply_aliases(mentions.select("conv_id", "norm_label"), aliases,
+                          label_col="norm_label", out_col="canon_label")
     counts = (
         pairs.select("conv_id", "canon_label").dropDuplicates()
         .groupBy("canon_label")

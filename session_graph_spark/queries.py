@@ -130,6 +130,27 @@ def session_timeline(turns: DataFrame) -> DataFrame:
     )
 
 
+def topic_search(mentions: DataFrame, turns: DataFrame, topic: str) -> DataFrame:
+    """Template 5 — "What sessions discussed X?": conversations whose
+    entity labels contain the topic substring, with session metadata
+    (reference SKILL.md:218-236). The label filter runs on the small
+    distinct (conv, label) side; session bounds join after."""
+    convs = (
+        mentions.where(F.col("canon_label").contains(topic))
+        .select("conv_id").distinct()
+    )
+    meta = turns.groupBy("conv_id").agg(
+        F.first("platform").alias("platform"),
+        F.min("ts").alias("created"),
+        F.first("source_file").alias("source_file"),
+    )
+    return (
+        convs.join(meta, "conv_id")
+        .select("conv_id", "platform", "created", "source_file")
+        .orderBy("created", "conv_id")
+    )
+
+
 def predicate_search(edges: DataFrame, predicate: str, entity_substr: str) -> DataFrame:
     """Template 3 — "What uses/enables/solves X?": distinct (subject,
     object) pairs of one predicate where either end contains the entity

@@ -82,3 +82,22 @@ def test_same_as_edges(spark):
     assert edges["python"] == "kb:0001"
     assert "hg" not in edges and "zzz-not-a-thing" not in edges
     assert CONFIDENCE_THRESHOLD == 0.7
+
+
+def test_link_clusters_end_to_end(spark):
+    """Reference pipeline order: ER clustering first, then the link step
+    over cluster canonicals (one decision per cluster)."""
+    from session_graph_spark import corpus
+    from session_graph_spark.operators.linking import link_clusters
+    from session_graph_spark.plans.pipeline import resolve
+
+    res = resolve(spark, corpus.generate_turns(spark, n_convs=20, seed=42))
+    out = link_clusters(res.clusters)
+    rows = {r["cluster_id"]: r for r in out.collect()}
+    # one decision per distinct cluster canonical
+    n_clusters = res.clusters.select("cluster_id").distinct().count()
+    assert len(rows) == n_clusters
+    # planted canonicals that exist in the KB must link
+    for known in ("python", "kubernetes", "postgresql"):
+        if known in rows:
+            assert rows[known]["linked"], known

@@ -169,3 +169,18 @@ def test_two_hop_neighbors_pruned_plan(ctx):
     label = mc.first()["cluster_id"]
     plan = Q.two_hop_neighbors(mc, label)._jdf.queryExecution().optimizedPlan().toString()
     assert "LeftSemi" in plan
+
+
+def test_topic_search(ctx):
+    turns, mc = ctx
+    topic = mc.first()["canon_label"][:4]
+    rows = Q.topic_search(mc, turns, topic).collect()
+    assert rows
+    want = {
+        r["conv_id"]
+        for r in mc.where(F.col("canon_label").contains(topic))
+        .select("conv_id").distinct().collect()
+    }
+    assert {r["conv_id"] for r in rows} == want
+    created = [r["created"] for r in rows]
+    assert created == sorted(created)
