@@ -322,3 +322,38 @@ def test_incremental_changed_conversation(spark, tmp_path):
     # third run on identical input: watermark kept the NEW hash -> no work
     out3 = runner.run(turns2)
     assert out3.count() == 0
+
+
+def test_stateful_conversation_stream(spark, tmp_path):
+    """applyInPandasWithState: per-conversation running state over a turn
+    stream; accumulated counts must match the batch ground truth."""
+    from session_graph_spark import corpus
+    from session_graph_spark.streaming.stateful import streaming_conversation_state
+
+    src = str(tmp_path / "turns_in")
+    turns = corpus.generate_turns(spark, n_convs=5, seed=42).select(
+        "conv_id", "text", F.col("ts").cast("string").alias("ts")
+    )
+    turns.write.mode("overwrite").parquet(src)
+    want = {
+        r["conv_id"]: (r["n"], r["chars"])
+        for r in turns.groupBy("conv_id")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.length(F.coalesce("text", F.lit("")))).alias("chars"))
+        .collect()
+    }
+
+    stream = spark.readStream.schema("conv_id string, text string, ts string").parquet(src)
+    q = (
+        streaming_conversation_state(stream)
+        .writeStream.outputMode("update").format("memory")
+        .queryName("conv_state")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT * FROM conv_state WHERE closed = false"
+    ).collect()
+    got = {r["conv_id"]: (r["n_turns"], r["n_chars"]) for r in rows}
+    assert got == want
