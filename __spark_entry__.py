@@ -582,6 +582,100 @@ def _quality_features_oracle() -> str:
         FROM c ORDER BY doc_id"""
 
 
+def _mentions_cte() -> str:
+    """DuckDB mirror of the deterministic extraction over documents-derived
+    turns. The general extractor has a phrase-gazetteer channel (Java
+    lookbehind regex, inexpressible in RE2) and ~20 L1 reject rules, but
+    on THIS corpus every token is plain lowercase alpha and no phrase or
+    cue matches (asserted before shipping), so the exact semantics reduce
+    to: tokenize, strip trailing punctuation, keep len>1 non-stopword
+    tokens (whitelist overrides the hex/2-char rejects), first-occurrence
+    dedup per turn, cap 10."""
+    from session_graph_spark.data import STOPWORDS, WHITELIST
+
+    stop = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
+    white = ", ".join(f"'{w}'" for w in sorted(WHITELIST))
+    return f"""
+        turns AS (
+          SELECT source AS conv_id,
+                 (row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1)::INT
+                   AS turn_idx,
+                 string_split(lower(substring(text, 1, 1500)), ' ') AS l
+          FROM documents
+          WHERE length(trim(text)) >= 30
+        ),
+        tok AS (
+          SELECT conv_id, turn_idx, unnest(range(1, len(l) + 1)) AS i, l FROM turns
+        ),
+        val AS (
+          SELECT conv_id, turn_idx, i,
+                 regexp_replace(trim(l[i]), '[.,;:]+$', '') AS norm_label
+          FROM tok
+        ),
+        valid AS (
+          SELECT * FROM val
+          WHERE length(norm_label) > 1
+            AND norm_label NOT IN ({stop})
+            AND (norm_label IN ({white})
+                 OR NOT (regexp_matches(norm_label, '^[a-f]{{6,}}$')
+                         OR length(norm_label) = 2))
+        ),
+        firsts AS (
+          SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx, norm_label
+                                       ORDER BY i) AS rn
+          FROM valid
+        ),
+        ranked AS (
+          SELECT conv_id, turn_idx, norm_label,
+                 (row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY i) - 1)::INT
+                   AS pos
+          FROM firsts WHERE rn = 1
+        ),
+        mentions AS (
+          SELECT conv_id, turn_idx, norm_label, pos FROM ranked WHERE pos < 10
+        )"""
+
+
+def _er_mentions_oracle() -> str:
+    return f"""
+        WITH {_mentions_cte()}
+        SELECT conv_id, turn_idx, norm_label, pos FROM mentions
+        ORDER BY conv_id, turn_idx, pos"""
+
+
+def _triple_hubs_oracle() -> str:
+    """Alias join (inlined VALUES) + consecutive-mention pairs + edge
+    distinct + subject∪object degree — mirrors q_triple_hubs exactly; the
+    cue scan finds nothing on this corpus so every predicate is the
+    relatedTo fallback."""
+    from session_graph_spark.data import ALIAS_MAP
+
+    alias_rows = ",\n             ".join(
+        f"('{s}', '{c}')" for s, c in sorted(ALIAS_MAP.items())
+    )
+    return f"""
+        WITH {_mentions_cte()},
+        al(surface, canonical) AS (VALUES
+             {alias_rows}),
+        m AS (
+          SELECT conv_id, turn_idx, pos,
+                 coalesce(al.canonical, mentions.norm_label) AS canon_label
+          FROM mentions LEFT JOIN al ON mentions.norm_label = al.surface
+        ),
+        pairs AS (
+          SELECT a.canon_label AS subject, b.canon_label AS object
+          FROM m a JOIN m b
+            ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+               AND b.pos = a.pos + 1
+          WHERE a.canon_label != b.canon_label
+        ),
+        edges AS (SELECT DISTINCT subject, object FROM pairs),
+        nodes AS (SELECT subject AS label FROM edges
+                  UNION ALL SELECT object FROM edges)
+        SELECT label, count(*)::BIGINT AS degree FROM nodes GROUP BY label
+        ORDER BY degree DESC, label LIMIT 20"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hub_entities": q_hub_entities,
@@ -794,7 +888,9 @@ def oracle_sql() -> dict[str, str]:
             FROM p WHERE j >= 0.8 ORDER BY id_a, id_b""",
         "lang_id": _lang_id_oracle(),
         "quality_features": _quality_features_oracle(),
-        # er_clusters / er_mentions / triple_hubs / minhash_dedup_groups /
-        # ann_lsh_topk: non-SQL-expressible (pandas-UDF extraction,
-        # MinHash-LSH recall, iterative CC, approximate ANN) -> rows-only
+        "er_mentions": _er_mentions_oracle(),
+        "triple_hubs": _triple_hubs_oracle(),
+        # er_clusters / minhash_dedup_groups / ann_lsh_topk stay rows-only:
+        # LSH recall, pairwise-scoring UDF kernels, iterative CC, and
+        # approximate ANN have no faithful single-statement SQL form
     }
