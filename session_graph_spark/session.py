@@ -20,13 +20,24 @@ def get_spark(
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     master = master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    n_str = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"
+    n_threads = 32 if n_str == "*" else int(n_str)
     if shuffle_partitions is None:
         # match parallelism; AQE coalesces small shuffles back down
-        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"
-        shuffle_partitions = 32 if n == "*" else int(n)
+        shuffle_partitions = n_threads
+    # The string-heavy stages (regex extraction, dedup shuffles) are
+    # memory-bandwidth-bound, not ALU-bound: measured on this class of
+    # host, per-task throughput degrades ~6x at 16 concurrent tasks and
+    # ~23x at 32 (BENCH.md microbench). Above 16 threads we allocate two
+    # hardware threads' worth of bandwidth per task (spark.task.cpus=2) —
+    # the same sizing a memory-bound job ships with on a real cluster —
+    # which halves concurrent tasks and restores near-knee throughput
+    # (130s -> 67s for the sf0.1 ER pipeline at local[32]).
+    task_cpus = "2" if n_threads > 16 else "1"
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.task.cpus", task_cpus)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
