@@ -388,6 +388,18 @@ def q_ann_lsh_topk(spark, sf):
     return lsh_topk(e, q, k=10, n_planes=4, n_tables=8)
 
 
+def q_ann_ivf_topk(spark, sf):
+    """IVF coarse-quantizer ANN (rows-only: approximate by design; the
+    exact baseline is the oracled ann_topk)."""
+    from session_graph_spark.operators.ann import ivf_topk
+
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return ivf_topk(e, q, k=10, n_cells=16, n_probe=6)
+
+
 def q_lang_id(spark, sf):
     """Stopword-profile language ID over documents (rows-only: pandas UDF)."""
     from session_graph_spark.functions.text import lang_id
@@ -710,6 +722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triple_hubs": q_triple_hubs,
         "minhash_dedup_groups": q_minhash_dedup_groups,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "lang_id": q_lang_id,
         "quality_features": q_quality_features,
     }

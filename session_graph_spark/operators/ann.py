@@ -109,3 +109,93 @@ def recall_at_k(approx: DataFrame, exact: DataFrame, k: int = 10) -> float:
     hit = a.join(e, ["query_id", "vec_id"], "left_semi").count()
     total = e.count()
     return hit / total if total else 1.0
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) index: coarse k-means quantizer + cell-scoped search
+# --------------------------------------------------------------------------
+def ivf_centroids(emb: DataFrame, n_cells: int = 16, n_iters: int = 4,
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> list[list[float]]:
+    """Deterministic coarse quantizer: centroids seeded with the n_cells
+    lowest-id vectors, refined by Lloyd iterations computed as DataFrame
+    aggregations (assign = broadcast argmin over centroids, update = mean
+    per cell). Only the centroids (n_cells x dim floats) ever reach the
+    driver — the per-vector work stays distributed, so the index build is
+    O(iters * N) map work + one small agg per iteration at any scale."""
+    e = emb.select(F.col(id_col).alias("vec_id"),
+                   F.transform(vec_col, lambda x: x.cast("double")).alias("v")).cache()
+    cents = [r["v"] for r in e.orderBy("vec_id").limit(n_cells).collect()]
+    dim = len(cents[0])
+    for _ in range(n_iters):
+        assigned = e.withColumn("cell", _nearest_cell(F.col("v"), cents))
+        new = (
+            assigned.groupBy("cell")
+            .agg(*[F.avg(F.col("v")[i]).alias(f"c{i}") for i in range(dim)],
+                 F.count("*").alias("n"))
+            .collect()
+        )
+        by_cell = {r["cell"]: [r[f"c{i}"] for i in range(dim)] for r in new}
+        # empty cells keep their previous centroid (deterministic)
+        cents = [by_cell.get(c, cents[c]) for c in range(len(cents))]
+    e.unpersist()
+    return cents
+
+
+def _nearest_cell(v: Column, cents: list[list[float]]) -> Column:
+    """Argmin over squared L2 distance to each centroid (JVM expressions;
+    the centroid list is inlined as literals, the Spark analog of a
+    broadcast codebook)."""
+    def d2(c: list[float]) -> Column:
+        arr = F.array(*[F.lit(float(x)) for x in c])
+        return F.aggregate(F.zip_with(v, arr, lambda x, y: (x - y) * (x - y)),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
+    best_cell = F.lit(0)
+    best_d = d2(cents[0])
+    for i in range(1, len(cents)):
+        di = d2(cents[i])
+        best_cell = F.when(di < best_d, F.lit(i)).otherwise(best_cell)
+        best_d = F.least(best_d, di)
+    return best_cell
+
+
+def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 10, n_cells: int = 16,
+             n_probe: int = 4, n_iters: int = 4, dim: int = 64,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             q_id_col: str = "query_id", q_vec_col: str = "qv") -> DataFrame:
+    """IVF approximate top-k: build the coarse quantizer, assign every
+    vector to its nearest cell, then score each query ONLY against the
+    vectors in its n_probe nearest cells. The scan fraction is
+    ~n_probe/n_cells of brute force; recall follows the usual IVF
+    tradeoff. Probing is a broadcast join on cell id — no crossJoin."""
+    cents = ivf_centroids(emb, n_cells, n_iters, id_col, vec_col)
+    e = emb.select(F.col(id_col).alias("vec_id"),
+                   F.transform(vec_col, lambda x: x.cast("double")).alias("v"))
+    e = e.withColumn("cell", _nearest_cell(F.col("v"), cents))
+    q = queries.select(F.col(q_id_col).alias("query_id"),
+                       F.transform(q_vec_col, lambda x: x.cast("double")).alias("qv"))
+
+    # n_probe nearest cells per query, via the same literal codebook
+    def d2(qv: Column, c: list[float]) -> Column:
+        arr = F.array(*[F.lit(float(x)) for x in c])
+        return F.aggregate(F.zip_with(qv, arr, lambda x, y: (x - y) * (x - y)),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
+    dists = F.array(*[
+        F.struct(d2(F.col("qv"), c).alias("d"), F.lit(i).alias("cell"))
+        for i, c in enumerate(cents)
+    ])
+    probe = F.slice(F.array_sort(dists), 1, n_probe)
+    qp = q.select("query_id", "qv",
+                  F.explode(F.transform(probe, lambda s: s["cell"])).alias("cell"))
+
+    j = (
+        F.broadcast(qp).join(e, "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_expr(F.col("qv"), F.col("v")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        j.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )

@@ -229,3 +229,25 @@ def test_minhash_dedup_pairs_exact_jaccard(spark, docs):
     exact = [r for r in pairs if r["id_b"] >= 1000 and r["id_b"] < 2000
              and r["id_a"] == r["id_b"] - 1000]
     assert all(r["jaccard"] == 1.0 for r in exact)
+
+
+def test_ivf_topk_recall_and_determinism(spark):
+    """IVF coarse-quantizer ANN: recall vs brute force at n_probe/n_cells
+    scan fraction, and fully deterministic across runs."""
+    from session_graph_spark.operators.ann import (brute_force_topk, ivf_topk,
+                                                   recall_at_k)
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    exact = brute_force_topk(emb, q, k=10).cache()
+    approx = ivf_topk(emb, q, k=10, n_cells=16, n_probe=6).cache()
+    r = recall_at_k(approx, exact, k=10)
+    assert r >= 0.5, f"IVF recall@10 {r} too low at 6/16 probe fraction"
+    # probing everything == exact
+    full = ivf_topk(emb, q, k=10, n_cells=16, n_probe=16)
+    assert recall_at_k(full, exact, k=10) == 1.0
+    # deterministic
+    again = ivf_topk(emb, q, k=10, n_cells=16, n_probe=6)
+    assert sorted(map(tuple, approx.collect())) == sorted(map(tuple, again.collect()))
