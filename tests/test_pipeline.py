@@ -94,3 +94,40 @@ def test_dedup_turns_opt_in(spark):
     m2 = mentions_from_turns(doubled, dedup_turns=True).count()
     assert m1 == m2
     assert mentions_from_turns(doubled).count() == 2 * m1
+
+
+def test_checkpoint_invalidates_on_config_change(spark, tmp_path):
+    """Stage keys fold in config: re-running over the same checkpoint dir
+    with a different threshold or min_sessions must NOT return the stale
+    stage output (round-1 defect: keys ignored config)."""
+    turns = corpus.generate_turns(spark, n_convs=25, seed=42)
+    ckpt = str(tmp_path / "run_cfg")
+    r1 = resolve(spark, turns, checkpoint_dir=ckpt)
+    n_labels_1 = r1.labels.count()
+    c1 = sorted(map(tuple, r1.clusters.collect()))
+
+    # min_sessions=1 keeps strictly more labels -> labels stage must recompute
+    r2 = resolve(spark, turns, checkpoint_dir=ckpt, min_sessions=1)
+    assert r2.labels.count() > n_labels_1
+
+    # threshold=0.99 breaks typo edges -> clusters stage must recompute
+    r3 = resolve(spark, turns, checkpoint_dir=ckpt, threshold=0.99)
+    c3 = sorted(map(tuple, r3.clusters.collect()))
+    assert c3 != c1
+
+    # back to the original config: original stage outputs are reproduced
+    r4 = resolve(spark, turns, checkpoint_dir=ckpt)
+    assert sorted(map(tuple, r4.clusters.collect())) == c1
+
+
+def test_with_salt_skew_helper(spark):
+    """with_salt: salted keys stay within `buckets` variants per key and
+    the original key is recoverable (prefix before '#')."""
+    from session_graph_spark.operators.blocking import with_salt
+
+    df = spark.createDataFrame([("python", i) for i in range(500)], ["k", "i"])
+    salted = with_salt(df, "k", buckets=16)
+    rows = salted.select("salted_key").collect()
+    keys = {r["salted_key"] for r in rows}
+    assert 1 < len(keys) <= 16
+    assert all(x.startswith("python#") for x in keys)
