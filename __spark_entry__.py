@@ -369,11 +369,11 @@ def q_triple_hubs(spark, sf):
 
 
 def q_minhash_dedup_groups(spark, sf):
-    """MinHash+LSH near-dup groups over documents (rows-only: pandas-UDF
-    signatures + iterative CC)."""
-    from session_graph_spark.operators.dedup import minhash_lsh_dedup
+    """MinHash-LSH near-dup groups with exact-Jaccard verification + CC
+    (oracle = all-pairs exact Jaccard + recursive transitive closure)."""
+    from session_graph_spark.operators.dedup import minhash_dedup_groups_exact
 
-    return minhash_lsh_dedup(_docs(spark, sf), threshold=0.8).orderBy("doc_id")
+    return minhash_dedup_groups_exact(_docs(spark, sf), threshold=0.8).orderBy("doc_id")
 
 
 def q_ann_lsh_topk(spark, sf):
@@ -903,7 +903,38 @@ def oracle_sql() -> dict[str, str]:
         "quality_features": _quality_features_oracle(),
         "er_mentions": _er_mentions_oracle(),
         "triple_hubs": _triple_hubs_oracle(),
-        # er_clusters / minhash_dedup_groups / ann_lsh_topk stay rows-only:
-        # LSH recall, pairwise-scoring UDF kernels, iterative CC, and
-        # approximate ANN have no faithful single-statement SQL form
+        "minhash_dedup_groups": """
+            WITH RECURSIVE
+              d AS (SELECT doc_id,
+                      list_distinct(
+                        CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                             ELSE list_transform(range(1, len(ws)-1),
+                                    i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))
+                        END) AS sh
+                    FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                          FROM documents)),
+              p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                    FROM d a JOIN d b ON a.doc_id < b.doc_id
+                    WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+                          / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1)
+                          >= 0.8),
+              e AS (SELECT id_a AS u, id_b AS v FROM p
+                    UNION ALL SELECT id_b, id_a FROM p),
+              reach(a, b) AS (
+                SELECT u, v FROM e
+                UNION
+                SELECT r.a, e2.v FROM reach r JOIN e e2 ON r.b = e2.u
+              ),
+              -- dup_group = component's LEXICOGRAPHIC-min id (the CC
+              -- min-string-label convention), so compare as VARCHAR
+              grp AS (SELECT a AS doc_id,
+                             CAST(least(min(b::VARCHAR), a::VARCHAR) AS BIGINT)
+                               AS dup_group
+                      FROM reach GROUP BY a)
+            SELECT doc_id, coalesce(grp.dup_group, doc_id) AS dup_group
+            FROM documents LEFT JOIN grp USING (doc_id)
+            ORDER BY doc_id""",
+        # er_clusters / ann_lsh_topk / ann_ivf_topk stay rows-only:
+        # pairwise-scoring UDF kernels over LSH candidates and approximate
+        # ANN have no faithful single-statement SQL form
     }

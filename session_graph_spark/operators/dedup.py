@@ -220,6 +220,30 @@ def minhash_dedup_pairs(docs: DataFrame, text_col: str = "text",
     )
 
 
+def minhash_dedup_groups_exact(docs: DataFrame, text_col: str = "text",
+                               id_col: str = "doc_id", n_hashes: int = 128,
+                               bands: int = 32, shingle_k: int = 3,
+                               threshold: float = 0.8) -> DataFrame:
+    """Near-dup group assignment (doc_id, dup_group) built from the
+    EXACT-Jaccard-verified pair set + connected components: the
+    oracle-checkable grouping form (an all-pairs exact Jaccard + recursive
+    transitive closure reproduces it in SQL). dup_group = the component's
+    lexicographic-min doc id (the CC min-label convention), docs with no
+    near-dup map to themselves. `minhash_lsh_dedup` stays the cheaper
+    estimated-Jaccard-verify variant."""
+    pairs = minhash_dedup_pairs(docs, text_col, id_col, n_hashes, bands,
+                                shingle_k, threshold)
+    comp = connected_components(
+        pairs.select(F.col("id_a").cast("string").alias("u"),
+                     F.col("id_b").cast("string").alias("v"))
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    return base.join(comp, base.doc_id.cast("string") == comp.label, "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id").cast("long"), F.col("doc_id")).alias("dup_group"),
+    )
+
+
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------
