@@ -469,6 +469,89 @@ def q_kb_linking(spark, sf):
     ).orderBy("label")
 
 
+def q_kb_linking_ctx(spark, sf):
+    """Context-aware KB linking (reference link_entities.py:653-663 +
+    select_best_match :374-400): same ladder as kb_linking, but each
+    label's top-5 co-occurring tokens (entity_context semantics) feed the
+    evidence re-rank between same-confidence candidates."""
+    from session_graph_spark.operators.linking import kb_df, link_to_kb
+    from session_graph_spark.operators.triples import entity_context
+
+    t = _tokens(spark, sf)
+    mentions = t.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.col("token").alias("canon_label"),
+    )
+    ctx = entity_context(mentions).withColumnRenamed("canon_label", "label")
+    labels = t.select(F.col("token").alias("label"))
+    out = link_to_kb(labels, kb_df(spark), label_col="label", context=ctx)
+    return out.select(
+        "label", "kb_id", F.round("confidence", 2).alias("confidence"), "linked"
+    ).orderBy("label")
+
+
+def q_kb_enrichment(spark, sf):
+    """Federated-enrichment analog (reference README.md:311-324 SERVICE
+    templates): linked labels joined back to the KB dimension for
+    description + alias list."""
+    from session_graph_spark.operators.linking import kb_df, kb_enrichment, link_to_kb
+
+    kb = kb_df(spark)
+    labels = _tokens(spark, sf).select(F.col("token").alias("label"))
+    linked = link_to_kb(labels, kb, label_col="label")
+    return kb_enrichment(linked, kb)
+
+
+def q_models_seen(spark, sf):
+    """Model/agent provenance rollup (reference jsonl_to_rdf.py:158-162
+    models_seen per session, common.py:96-113 AIModel agent nodes) —
+    documents analog: source = the session, lang = the model-id stand-in.
+    The turns-table form is `queries.models_seen` over the Claude reader's
+    model column; this derivation is the SQL-oracle-able twin."""
+    return (
+        _docs(spark, sf)
+        .groupBy("source")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_set("lang"))).alias("models_seen"),
+            F.expr("min_by(lang, doc_id)").alias("first_model"),
+            F.countDistinct("lang").alias("n_models"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_er_labels(spark, sf):
+    """The ER pipeline's post-filter label table (normalized_labels stage:
+    alias join -> distinct conv/label -> min-sessions >= 2 -> block key).
+    Fully SQL-expressible on this corpus (plain lowercase alpha tokens, so
+    the L2 pandas filter reduces to a no-op — same justification as
+    _mentions_cte)."""
+    from session_graph_spark.plans.pipeline import (alias_df, mentions_from_turns,
+                                                    normalized_labels, prepare_turns)
+    from session_graph_spark.sources.testdata import documents_as_turns
+
+    turns = prepare_turns(documents_as_turns(spark, sf))
+    lab = normalized_labels(mentions_from_turns(turns), alias_df(spark))
+    return lab.select("canon_label", "n_sessions", "block_key").orderBy("canon_label")
+
+
+def q_er_edges_exact(spark, sf):
+    """The ER pipeline's deterministic identity channel (alias edges +
+    slug-equality pairs, reference common.py:29-37) — the SQL-expressible
+    part of edge generation, leaving only the typo/LSH scoring channel
+    unoracled. On this corpus the alias channel carries traffic
+    ('spark' -> 'apache spark'); slug collisions are pytest-covered."""
+    from session_graph_spark.operators.blocking import exact_edges
+    from session_graph_spark.plans.pipeline import (alias_df, mentions_from_turns,
+                                                    prepare_turns)
+    from session_graph_spark.sources.testdata import documents_as_turns
+
+    turns = prepare_turns(documents_as_turns(spark, sf))
+    m = mentions_from_turns(turns)
+    return exact_edges(m, alias_df(spark)).orderBy("channel", "label_a", "label_b")
+
+
 def q_minhash_dedup_pairs(spark, sf):
     """MinHash-LSH near-dup pairs verified by EXACT word-3-shingle
     Jaccard >= 0.8 (oracle = all-pairs exact Jaccard in DuckDB; LSH must
@@ -500,9 +583,9 @@ def q_er_mentions(spark, sf):
     )
 
 
-def _kb_linking_oracle() -> str:
-    """DuckDB mirror of link_to_kb: the gazetteer inlined as VALUES, the
-    same exact-1.0 / tech-keyword-0.8 / else-0.5 ladder, threshold 0.7."""
+def _kb_dim_sql() -> str:
+    """The gazetteer match dimension inlined as a VALUES CTE with the
+    tech-keyword flag precomputed — shared by every KB oracle."""
     from session_graph_spark.operators.linking import KB_ENTRIES, TECH_KEYWORDS
 
     rows = []
@@ -512,16 +595,23 @@ def _kb_linking_oracle() -> str:
             rows.append(f"('{a}', '{kb_id}', '{desc}', true)")
     values = ",\n             ".join(rows)
     kw = " OR ".join(f"contains(lower(description), '{k}')" for k in TECH_KEYWORDS)
+    return f"""dim0(match_key, kb_id, description, via_alias) AS (VALUES
+             {values}),
+             dim AS (SELECT *, ({kw}) AS is_tech FROM dim0)"""
+
+
+def _kb_linking_oracle() -> str:
+    """DuckDB mirror of link_to_kb: the gazetteer inlined as VALUES, the
+    same exact-1.0 / tech-keyword-0.8 / else-0.5 ladder, threshold 0.7."""
     return f"""
         WITH q AS (SELECT DISTINCT lower(trim(token)) AS label FROM {_TOK_SQL}),
-             dim(match_key, kb_id, description, via_alias) AS (VALUES
-             {values}),
-             cand AS (SELECT q.label, d.kb_id, d.description, d.via_alias
+             {_kb_dim_sql()},
+             cand AS (SELECT q.label, d.kb_id, d.via_alias, d.is_tech
                       FROM q LEFT JOIN dim d ON q.label = d.match_key),
              scored AS (SELECT label, kb_id,
                           (CASE WHEN kb_id IS NULL THEN 0.0
                                 WHEN NOT via_alias THEN 1.0
-                                WHEN {kw} THEN 0.8
+                                WHEN is_tech THEN 0.8
                                 ELSE 0.5 END)::DOUBLE AS confidence
                         FROM cand),
              best AS (SELECT label, kb_id, confidence,
@@ -534,6 +624,171 @@ def _kb_linking_oracle() -> str:
                round(confidence, 2) AS confidence,
                confidence >= 0.7 AS linked
         FROM best WHERE rk = 1 ORDER BY label"""
+
+
+def _kb_linking_ctx_oracle() -> str:
+    """DuckDB mirror of the context-aware linker: entity_context (top-5
+    co-occurring tokens per label, ranked by count desc then label) feeds
+    the evidence re-rank — domain agreement (+2 when the context names a
+    known tech entity and the candidate is the tech sense, or both are
+    non-tech) plus description-word overlap (+0..3) — between
+    same-confidence candidates, before the kb_id tie-break."""
+    return f"""
+        WITH q AS (SELECT DISTINCT lower(trim(token)) AS label FROM {_TOK_SQL}),
+             {_kb_dim_sql()},
+             m AS (SELECT DISTINCT doc_id, token FROM {_TOK_SQL}),
+             co AS (SELECT a.token AS label, b.token AS ctx_tok, count(*) AS n
+                    FROM m a JOIN m b USING (doc_id)
+                    WHERE a.token != b.token GROUP BY 1, 2),
+             top AS (SELECT label, ctx_tok FROM (
+                       SELECT label, ctx_tok,
+                              row_number() OVER (PARTITION BY label
+                                                 ORDER BY n DESC, ctx_tok) AS rk
+                       FROM co) WHERE rk <= 5),
+             ctxarr AS (SELECT label, list_sort(list(ctx_tok)) AS ctx
+                        FROM top GROUP BY label),
+             ctxflag AS (SELECT t.label, count(t.ctx_tok) AS n_ctx,
+                                coalesce(bool_or(d.is_tech), false) AS any_tech
+                         FROM top t LEFT JOIN dim d
+                           ON lower(t.ctx_tok) = d.match_key
+                         GROUP BY t.label),
+             cand AS (SELECT q.label, d.kb_id, d.description, d.via_alias, d.is_tech
+                      FROM q LEFT JOIN dim d ON q.label = d.match_key),
+             scored AS (SELECT c.label, c.kb_id,
+                          (CASE WHEN c.kb_id IS NULL THEN 0.0
+                                WHEN NOT c.via_alias THEN 1.0
+                                WHEN c.is_tech THEN 0.8
+                                ELSE 0.5 END)::DOUBLE AS confidence,
+                          (CASE WHEN f.label IS NULL OR f.n_ctx = 0 THEN 0
+                                WHEN f.any_tech = c.is_tech THEN 2
+                                ELSE 0 END)
+                          + least(greatest(coalesce(
+                              len(list_intersect(
+                                string_split(lower(array_to_string(ca.ctx, ' ')), ' '),
+                                string_split(lower(c.description), ' '))), 0), 0), 3)
+                            AS ctx_score
+                        FROM cand c
+                        LEFT JOIN ctxflag f USING (label)
+                        LEFT JOIN ctxarr ca USING (label)),
+             best AS (SELECT label, kb_id, confidence,
+                             row_number() OVER (PARTITION BY label
+                                                ORDER BY confidence DESC,
+                                                         ctx_score DESC, kb_id)
+                             AS rk
+                      FROM scored)
+        SELECT label,
+               CASE WHEN confidence >= 0.7 THEN kb_id END AS kb_id,
+               round(confidence, 2) AS confidence,
+               confidence >= 0.7 AS linked
+        FROM best WHERE rk = 1 ORDER BY label"""
+
+
+def _kb_enrichment_oracle() -> str:
+    """Linked labels (context-free ladder) joined back to the KB dimension
+    for kb_label, description, and the sorted alias csv."""
+    from session_graph_spark.operators.linking import KB_ENTRIES
+
+    enrich_rows = ",\n             ".join(
+        f"('{kb_id}', '{label}', '{desc}', '{','.join(sorted(aliases))}')"
+        for kb_id, label, desc, aliases in KB_ENTRIES
+    )
+    return f"""
+        WITH q AS (SELECT DISTINCT lower(trim(token)) AS label FROM {_TOK_SQL}),
+             {_kb_dim_sql()},
+             enrich(kb_id, kb_label, description, aliases_csv) AS (VALUES
+             {enrich_rows}),
+             cand AS (SELECT q.label, d.kb_id, d.via_alias, d.is_tech
+                      FROM q LEFT JOIN dim d ON q.label = d.match_key),
+             scored AS (SELECT label, kb_id,
+                          (CASE WHEN kb_id IS NULL THEN 0.0
+                                WHEN NOT via_alias THEN 1.0
+                                WHEN is_tech THEN 0.8
+                                ELSE 0.5 END)::DOUBLE AS confidence
+                        FROM cand),
+             best AS (SELECT label, kb_id, confidence,
+                             row_number() OVER (PARTITION BY label
+                                                ORDER BY confidence DESC, kb_id)
+                             AS rk
+                      FROM scored)
+        SELECT b.label, b.kb_id, e.kb_label, e.description, e.aliases_csv
+        FROM best b JOIN enrich e USING (kb_id)
+        WHERE b.rk = 1 AND b.confidence >= 0.7
+        ORDER BY b.label"""
+
+
+def _er_labels_cte() -> str:
+    """normalized_labels stage over the documents-derived turns: alias
+    broadcast join -> distinct (conv, canon) -> min-sessions >= 2 -> slug
+    block key. Valid on this corpus for the same reason as _mentions_cte
+    (plain lowercase alpha tokens: the L2 pandas filter rejects nothing)."""
+    from session_graph_spark.data import ALIAS_MAP
+
+    alias_rows = ",\n             ".join(
+        f"('{s}', '{c}')" for s, c in sorted(ALIAS_MAP.items())
+    )
+    return f"""
+        al(surface, canonical) AS (VALUES
+             {alias_rows}),
+        canon_mentions AS (
+          SELECT conv_id,
+                 coalesce(al.canonical, mentions.norm_label) AS canon_label
+          FROM mentions LEFT JOIN al ON mentions.norm_label = al.surface
+        ),
+        er_labels AS (
+          SELECT canon_label, count(*)::BIGINT AS n_sessions,
+                 regexp_replace(regexp_replace(lower(canon_label),
+                                '[^a-z0-9]+', '-', 'g'),
+                                '(^-+|-+$)', '', 'g') AS block_key
+          FROM (SELECT DISTINCT conv_id, canon_label FROM canon_mentions)
+          GROUP BY canon_label HAVING count(*) >= 2
+        )"""
+
+
+def _er_labels_oracle() -> str:
+    return f"""
+        WITH {_mentions_cte()},
+        {_er_labels_cte()}
+        SELECT canon_label, n_sessions, block_key FROM er_labels
+        ORDER BY canon_label"""
+
+
+def _er_edges_exact_oracle() -> str:
+    """exact_edges mirror: alias identity edges over distinct mention
+    labels, plus slug-equality pairs over distinct canonicals."""
+    return f"""
+        WITH {_mentions_cte()},
+        {_er_labels_cte()},
+        d AS (SELECT DISTINCT norm_label FROM mentions),
+        wc AS (SELECT norm_label,
+                      coalesce(al.canonical, d.norm_label) AS canon_label
+               FROM d LEFT JOIN al ON d.norm_label = al.surface),
+        alias_edges AS (
+          SELECT least(norm_label, canon_label) AS label_a,
+                 greatest(norm_label, canon_label) AS label_b,
+                 'alias' AS channel
+          FROM wc WHERE norm_label != canon_label),
+        canon AS (SELECT DISTINCT canon_label,
+                         regexp_replace(regexp_replace(lower(canon_label),
+                                        '[^a-z0-9]+', '-', 'g'),
+                                        '(^-+|-+$)', '', 'g') AS block_key
+                  FROM wc),
+        slug_edges AS (
+          SELECT a.canon_label AS label_a, b.canon_label AS label_b,
+                 'slug' AS channel
+          FROM canon a JOIN canon b USING (block_key)
+          WHERE a.canon_label < b.canon_label)
+        SELECT DISTINCT label_a, label_b, channel
+        FROM (SELECT * FROM alias_edges UNION ALL SELECT * FROM slug_edges)
+        ORDER BY channel, label_a, label_b"""
+
+
+def _models_seen_oracle() -> str:
+    return """
+        SELECT source,
+               array_to_string(list_sort(list(DISTINCT lang)), ',') AS models_seen,
+               min_by(lang, doc_id) AS first_model,
+               count(DISTINCT lang) AS n_models
+        FROM documents GROUP BY source ORDER BY source"""
 
 
 def _lang_id_oracle() -> str:
@@ -716,6 +971,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sibling_entities": q_sibling_entities,
         "topic_search": q_topic_search,
         "kb_linking": q_kb_linking,
+        "kb_linking_ctx": q_kb_linking_ctx,
+        "kb_enrichment": q_kb_enrichment,
+        "models_seen": q_models_seen,
+        "er_labels": q_er_labels,
+        "er_edges_exact": q_er_edges_exact,
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
         "er_clusters": q_er_clusters,
         "er_mentions": q_er_mentions,
@@ -883,6 +1143,11 @@ def oracle_sql() -> dict[str, str]:
                              WHERE contains(token, 'spark'))
             ORDER BY doc_id""",
         "kb_linking": _kb_linking_oracle(),
+        "kb_linking_ctx": _kb_linking_ctx_oracle(),
+        "kb_enrichment": _kb_enrichment_oracle(),
+        "models_seen": _models_seen_oracle(),
+        "er_labels": _er_labels_oracle(),
+        "er_edges_exact": _er_edges_exact_oracle(),
         "minhash_dedup_pairs": """
             WITH d AS (SELECT doc_id,
                          list_distinct(

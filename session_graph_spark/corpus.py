@@ -82,6 +82,16 @@ ENTITY_VARIANTS: dict[str, list[str]] = {
     "duckdb": ["duckdb", "duck db", "duckdbb"],
     "github actions": ["github actions", "gh actions"],
     "clickhouse": ["clickhouse", "clickhose"],
+    # round-3 plantings: KB-linking rung traffic (VERDICT r2 item 2).
+    # ecmascript: KB alias of javascript with a tech description -> the
+    # 0.8 rung; quicksilver: KB alias of the non-tech mercury sense -> the
+    # 0.5 below-threshold path; zephyrdb/quantafold: in no KB -> the
+    # negative (not_found) path. None is edit-distance-confusable with an
+    # existing planted entity (scores stay < 0.7 against all of them).
+    "ecmascript": ["ecmascript"],
+    "quicksilver": ["quicksilver"],
+    "zephyrdb": ["zephyrdb", "zephyrdbb"],
+    "quantafold": ["quantafold"],
 }
 
 # confusable cross-entity pairs: must NOT co-cluster (score < 0.7). These
@@ -97,6 +107,7 @@ NEGATIVE_PAIRS: list[tuple[str, str]] = [
     ("rust", "redis"),
     ("nginx", "next.js"),
     ("ansible", "apache spark"),
+    ("javascript", "ecmascript"),
 ]
 
 # noise the L1/L2 filters must reject — one exemplar per rule group
@@ -135,7 +146,7 @@ _SHORT_TURNS = ["ok", "thanks", "yes do it", "lgtm", "retry", "hm"]
 
 # bump whenever the turn-construction logic changes (the cache key can't
 # see code changes, only the entity schedule)
-GENERATOR_VERSION = 2
+GENERATOR_VERSION = 3
 
 
 def corpus_cache_key(n_convs: int, seed: int) -> str:

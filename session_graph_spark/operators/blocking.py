@@ -124,6 +124,45 @@ def candidate_pairs(
     return exact.unionByName(fuzzy).distinct()
 
 
+def exact_edges(mentions: DataFrame, aliases: DataFrame,
+                label_col: str = "norm_label") -> DataFrame:
+    """The ER pipeline's fully deterministic identity channel, exposed as
+    an auditable edge table (reference common.py:29-37: two surface forms
+    with the same slug — or linked by the curated alias dictionary — ARE
+    the same entity; no similarity scoring involved).
+
+    Output (label_a, label_b, channel), label_a < label_b:
+    - 'alias': a surface form joined to its distinct canonical
+      (entity_aliases.json semantics);
+    - 'slug':  two distinct canonical labels sharing a block key
+      (slug-equality, the identity rule).
+
+    Both channels are plain joins over distinct labels — SQL-expressible
+    end to end, so the DuckDB oracle can verify them exactly; the engine's
+    unoracled surface narrows to the typo/LSH scoring channel."""
+    from session_graph_spark.functions.normalize import apply_aliases, slug
+
+    d = mentions.select(label_col).distinct()
+    with_canon = apply_aliases(d, aliases, label_col=label_col,
+                               out_col="canon_label")
+    alias_edges = (
+        with_canon.where(F.col(label_col) != F.col("canon_label"))
+        .select(
+            F.least(F.col(label_col), F.col("canon_label")).alias("label_a"),
+            F.greatest(F.col(label_col), F.col("canon_label")).alias("label_b"),
+            F.lit("alias").alias("channel"),
+        )
+    )
+    canon = (
+        with_canon.select("canon_label").distinct()
+        .withColumn("block_key", slug("canon_label"))
+    )
+    slug_edges = _pairs_within(canon, "block_key", "canon_label").withColumn(
+        "channel", F.lit("slug")
+    )
+    return alias_edges.unionByName(slug_edges).distinct()
+
+
 def block_metrics(labels: DataFrame, label_col: str = "canon_label",
                   block_col: str = "block_key") -> DataFrame:
     """Per-block size distribution (A4 analog: pair-count metrics)."""

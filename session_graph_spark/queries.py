@@ -120,12 +120,40 @@ def project_knowledge_map(mentions: DataFrame, turns: DataFrame, k: int = 50) ->
 
 
 def session_timeline(turns: DataFrame) -> DataFrame:
-    """W2: first/last timestamp + turn count per conversation."""
+    """W2: first/last timestamp + turn count per conversation, plus the
+    session title — the first user turn's text, truncated (reference
+    session-node metadata: warp_to_rdf.py:136-146 first-query preview,
+    jsonl_to_rdf.py:84-99 title+project)."""
+    title = (
+        turns.where(F.col("role") == "user")
+        .groupBy("conv_id")
+        .agg(F.expr("min_by(substring(text, 1, 80), turn_idx)").alias("title"))
+    )
     return (
         turns.groupBy("conv_id")
         .agg(F.min("ts").alias("created"),
              F.max("ts").alias("modified"),
              F.count("*").alias("n_turns"))
+        .join(title, "conv_id", "left")
+        .orderBy("conv_id")
+    )
+
+
+def models_seen(turns: DataFrame) -> DataFrame:
+    """Model/agent provenance rollup (reference jsonl_to_rdf.py:158-162
+    tracks models_seen per session; common.py:96-113 creates Developer /
+    AIModel prov:Agent nodes): per conversation, the sorted distinct model
+    ids, the first model by turn order, and the model count. Rows without
+    provenance (user turns, platforms whose exports carry no model id)
+    are excluded before the rollup."""
+    m = turns.where(F.col("model").isNotNull())
+    return (
+        m.groupBy("conv_id")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_set("model"))).alias("models_seen"),
+            F.expr("min_by(model, turn_idx)").alias("first_model"),
+            F.countDistinct("model").alias("n_models"),
+        )
         .orderBy("conv_id")
     )
 
@@ -134,15 +162,17 @@ def topic_search(mentions: DataFrame, turns: DataFrame, topic: str) -> DataFrame
     """Template 5 — "What sessions discussed X?": conversations whose
     entity labels contain the topic substring, with session metadata
     (reference SKILL.md:218-236). The label filter runs on the small
-    distinct (conv, label) side; session bounds join after."""
+    distinct (conv, label) side; session bounds join after. Metadata picks
+    the FIRST turn's values by (ts, turn_idx) — min_by, not first(), so a
+    conversation spanning source files returns deterministic metadata."""
     convs = (
         mentions.where(F.col("canon_label").contains(topic))
         .select("conv_id").distinct()
     )
     meta = turns.groupBy("conv_id").agg(
-        F.first("platform").alias("platform"),
+        F.expr("min_by(platform, struct(ts, turn_idx))").alias("platform"),
         F.min("ts").alias("created"),
-        F.first("source_file").alias("source_file"),
+        F.expr("min_by(source_file, struct(ts, turn_idx))").alias("source_file"),
     )
     return (
         convs.join(meta, "conv_id")

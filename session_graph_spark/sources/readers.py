@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (ArrayType, StringType, StructField, StructType)
 
 TURNS_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts",
-                 "platform", "source_file"]
+                 "platform", "source_file", "model"]
 
 _BLOCK = StructType([
     StructField("type", StringType()),
@@ -94,6 +94,10 @@ def read_claude_code_jsonl(spark: SparkSession, path: str) -> DataFrame:
             F.to_timestamp("rec.timestamp").alias("ts"),
             F.col("rec.uuid").alias("uuid"),
             "source_file",
+            # model/agent provenance (reference jsonl_to_rdf.py:158-162
+            # models_seen per session, common.py:96-113 AIModel nodes):
+            # assistant messages carry message.model; user rows have none
+            F.col("rec.message.model").alias("model"),
         )
         .where(F.col("conv_id").isNotNull())
         .withColumn("turn_idx", (F.row_number().over(w) - 1).cast("int"))
@@ -220,6 +224,7 @@ def read_deepseek_json(spark: SparkSession, path: str) -> DataFrame:
             F.to_timestamp("ts_raw").alias("ts"),
             F.lit("deepseek").alias("platform"),
             "source_file",
+            F.lit(None).cast("string").alias("model"),  # export has no model id
         )
         .select(*TURNS_COLUMNS)
     )
@@ -271,6 +276,7 @@ def read_grok_json(spark: SparkSession, path: str) -> DataFrame:
                 F.col("resp.response.create_time.$date.$numberLong").cast("long")
             ).alias("ts"),
             "resp_ord", "source_file",
+            F.lit(None).cast("string").alias("model"),  # export has no model id
         )
         .withColumn("turn_idx", (F.row_number().over(w) - 1).cast("int"))
         .withColumn("platform", F.lit("grok"))
@@ -313,6 +319,7 @@ def warp_turns(queries_df: DataFrame, min_exchanges: int = 5,
         F.lit(None).cast("string").alias("tool"),
         F.to_timestamp("start_ts").alias("ts"),
         F.lit(0).alias("sub_order"),
+        F.lit(None).cast("string").alias("model"),
     )
     asst = q.where(F.col("output").isNotNull()).select(
         F.col("conversation_id").alias("conv_id"),
@@ -321,6 +328,9 @@ def warp_turns(queries_df: DataFrame, min_exchanges: int = 5,
         F.lit(None).cast("string").alias("tool"),
         F.to_timestamp("start_ts").alias("ts"),
         F.lit(1).alias("sub_order"),
+        # Warp stores the model per exchange (reference warp_to_rdf.py
+        # reads model_id); provenance lands on the assistant turn
+        F.col("model_id").alias("model"),
     )
     both = user.unionByName(asst)
     w = Window.partitionBy("conv_id").orderBy("ts", "sub_order")

@@ -101,3 +101,170 @@ def test_link_clusters_end_to_end(spark):
     for known in ("python", "kubernetes", "postgresql"):
         if known in rows:
             assert rows[known]["linked"], known
+
+
+# ---------------------------------------------------------------------------
+# context-aware disambiguation (reference link_entities.py:437-493 builds
+# triple contexts, :653-663 feeds them to the linker; spot-check cases are
+# the reference's agentic_linker_langgraph.py:234-291 seven, restated as
+# (label, co-occurring entity labels) pairs for the deterministic analog)
+# ---------------------------------------------------------------------------
+CTX_CASES = [
+    # (label, context terms, expected kb_id, expect_linked)
+    ("python", ["go", "node.js", "backend"], "kb:0001", True),
+    ("backend", ["docker", "kubernetes"], "kb:0047", True),
+    ("agent", ["claude code", "large language model"], "kb:0210", True),
+    ("apis", ["backend", "json"], "kb:0050", True),
+    ("neo4j", ["knowledge graph", "cypher"], "kb:0014", True),
+    ("k8s", ["docker", "helm"], "kb:0006", True),
+    ("js", ["frontend", "react"], "kb:0002", True),
+]
+
+
+def _link_with_ctx(spark, cases):
+    labels = spark.createDataFrame([(c[0],) for c in cases], ["label"])
+    ctx = spark.createDataFrame([(c[0], c[1]) for c in cases],
+                                "label string, context array<string>")
+    return {
+        r["label"]: r
+        for r in link_to_kb(labels, kb_df(spark), context=ctx).collect()
+    }
+
+
+def test_reference_seven_case_spot_check(spark):
+    out = _link_with_ctx(spark, CTX_CASES)
+    for label, _, kb_id, linked in CTX_CASES:
+        assert out[label.lower()]["kb_id"] == kb_id, label
+        assert out[label.lower()]["linked"] == linked, label
+
+
+def test_context_flips_ambiguous_senses(spark):
+    """Same exact-match confidence, different winners by evidence: the
+    reference's core precision mechanism (7/7 agentic vs ~50% context-free
+    heuristic, README.md:56)."""
+    cases = [
+        ("go", ["kubernetes", "docker"]),        # tech context
+        ("mercury", ["postgresql", "python"]),   # tech context
+        ("java", ["spring boot", "maven"]),      # tech context
+    ]
+    out = _link_with_ctx(spark, cases)
+    assert out["go"]["kb_id"] == "kb:0004"        # the language
+    assert out["mercury"]["kb_id"] == "kb:0209"   # the language, not deity
+    assert out["java"]["kb_id"] == "kb:0052"      # the language, not island
+
+    non_tech = [
+        ("go", ["board", "game", "stones"]),
+        ("python", ["snake", "reptile", "zoo"]),
+    ]
+    out2 = _link_with_ctx(spark, non_tech)
+    assert out2["go"]["kb_id"] == "kb:0204"       # the board game
+    assert out2["python"]["kb_id"] == "kb:0205"   # the snake
+
+    # ladder confidence itself is never changed by context
+    assert out["go"]["confidence"] == 1.0 and out2["go"]["confidence"] == 1.0
+
+
+def test_no_context_keeps_reference_tiebreak(spark):
+    """Without context, ambiguous exact matches fall back to lowest kb_id
+    (select_best_match 'first result' order) — today's behavior."""
+    labels = spark.createDataFrame([("go",), ("mercury",), ("agent",)], ["label"])
+    out = {r["label"]: r for r in link_to_kb(labels, kb_df(spark)).collect()}
+    assert out["go"]["kb_id"] == "kb:0004"
+    assert out["mercury"]["kb_id"] == "kb:0051"   # deity has the lower id
+    assert out["agent"]["kb_id"] == "kb:0049"
+
+
+def test_gazetteer_scale():
+    """VERDICT r2 item 2: KB dimension grown past 300 entries; ids unique;
+    labels/aliases lowercase; no apostrophes (the oracle inlines VALUES);
+    ambiguous non-tech senses carry higher ids than their tech twin."""
+    from session_graph_spark.operators.linking import KB_ENTRIES
+
+    assert len(KB_ENTRIES) >= 300
+    ids = [k for k, _, _, _ in KB_ENTRIES]
+    assert len(set(ids)) == len(ids)
+    by_label: dict[str, list[str]] = {}
+    for kb_id, label, desc, aliases in KB_ENTRIES:
+        assert "'" not in label and "'" not in desc
+        assert label == label.lower()
+        for a in aliases:
+            assert "'" not in a and a == a.lower()
+        by_label.setdefault(label, []).append(kb_id)
+    # ambiguous labels exist and are exercised
+    assert len(by_label["go"]) == 2 and len(by_label["mercury"]) == 2
+
+
+def test_link_metrics_and_rung_traffic(spark):
+    """All three ladder rungs + the negative path carry real corpus
+    traffic, and link_metrics reports the reference's summary counters
+    (link_entities.py:760-786)."""
+    from session_graph_spark import corpus
+    from session_graph_spark.operators.linking import link_clusters, link_metrics
+    from session_graph_spark.plans.pipeline import resolve
+
+    res = resolve(spark, corpus.generate_turns(spark, n_convs=30, seed=42))
+    linked = link_clusters(res.clusters).cache()
+    rows = {r["cluster_id"]: r for r in linked.collect()}
+
+    assert rows["ecmascript"]["confidence"] == 0.8 and rows["ecmascript"]["linked"]
+    assert rows["quicksilver"]["confidence"] == 0.5 and not rows["quicksilver"]["linked"]
+    assert rows["zephyrdb"]["confidence"] == 0.0 and rows["zephyrdb"]["kb_id"] is None
+    # single-variant entity -> stable min-label canonical -> exact rung
+    assert rows["redis"]["confidence"] == 1.0 and rows["redis"]["linked"]
+
+    m = {r["status"]: r for r in link_metrics(linked).collect()}
+    assert m["linked"]["n"] > 0
+    assert m["below_threshold"]["n"] >= 1       # quicksilver
+    assert m["not_found"]["n"] >= 2             # zephyrdb, quantafold
+    total = sum(r["n"] for r in m.values())
+    assert total == linked.count()
+    assert abs(sum(float(r["share"]) for r in m.values()) - 1.0) < 0.01
+    linked.unpersist()
+
+
+def test_link_metrics_cache_hits(spark):
+    from session_graph_spark.operators.linking import link_metrics
+
+    labels = spark.createDataFrame([("python",), ("redis",)], ["label"])
+    cache = spark.createDataFrame(
+        [("python", "kb:0001", "python", "d", 1.0, True)],
+        "label string, kb_id string, kb_label string, description string, "
+        "confidence double, linked boolean",
+    )
+    out = link_to_kb(labels, kb_df(spark), cache=cache)
+    m = {r["status"]: r["n"] for r in link_metrics(out, cache=cache).collect()}
+    assert m["cache_hit"] == 1 and m["linked"] == 2
+
+
+def test_kb_enrichment_join(spark):
+    """Federated-template analog (reference README.md:311-324): linked
+    labels joined back to KB description + aliases."""
+    from session_graph_spark.operators.linking import kb_enrichment
+
+    labels = spark.createDataFrame(
+        [("python",), ("k8s",), ("zzz-not-a-thing",)], ["label"])
+    linked = link_to_kb(labels, kb_df(spark))
+    out = {r["label"]: r for r in kb_enrichment(linked, kb_df(spark)).collect()}
+    assert set(out) == {"python", "k8s"}  # unlinked labels excluded
+    assert out["python"]["aliases_csv"] == "cpython,py"
+    assert out["k8s"]["kb_label"] == "kubernetes"
+    assert "orchestration" in out["k8s"]["description"]
+
+
+def test_link_clusters_consumes_context(spark):
+    """link_clusters feeds entity_context evidence through to the linker
+    (reference link_entities.py:653-663)."""
+    from session_graph_spark.operators.linking import link_clusters
+
+    clusters = spark.createDataFrame(
+        [("go", "go"), ("golang", "go"), ("mercury", "mercury")],
+        ["label", "cluster_id"],
+    )
+    ctx = spark.createDataFrame(
+        [("go", ["kubernetes", "docker"]), ("mercury", ["prolog", "haskell"])],
+        "canon_label string, context array<string>",
+    )
+    out = {r["cluster_id"]: r for r in
+           link_clusters(clusters, context=ctx).collect()}
+    assert out["go"]["kb_id"] == "kb:0004"
+    assert out["mercury"]["kb_id"] == "kb:0209"  # tech context -> language

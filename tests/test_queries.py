@@ -79,6 +79,33 @@ def test_session_timeline(ctx):
     rows = Q.session_timeline(turns).collect()
     assert all(r["created"] <= r["modified"] for r in rows)
     assert all(r["n_turns"] >= 3 for r in rows)
+    # session title = first user turn's text (truncated 80), the
+    # reference's session-node metadata (warp_to_rdf.py:136-146)
+    first_user = (
+        turns.where(F.col("role") == "user")
+        .orderBy("conv_id", "turn_idx").first()
+    )
+    by_conv = {r["conv_id"]: r for r in rows}
+    assert by_conv[first_user["conv_id"]]["title"] == first_user["text"][:80]
+    assert all(len(r["title"] or "") <= 80 for r in rows)
+
+
+def test_exact_edges_channels(spark):
+    """Both deterministic identity channels fire: alias dictionary edges
+    and slug-equality pairs (reference common.py:29-37)."""
+    from session_graph_spark.operators.blocking import exact_edges
+    from session_graph_spark.plans.pipeline import alias_df
+
+    mentions = spark.createDataFrame(
+        [("k8s",), ("kubernetes",), ("node.js",), ("node-js",), ("redis",)],
+        ["norm_label"],
+    )
+    rows = {(r["label_a"], r["label_b"], r["channel"])
+            for r in exact_edges(mentions, alias_df(spark)).collect()}
+    assert ("k8s", "kubernetes", "alias") in rows
+    # node-js is unknown to the alias dim but slug-collides with node.js
+    assert ("node-js", "node.js", "slug") in rows
+    assert not any("redis" in (a, b) for a, b, _ in rows)
 
 
 def test_two_hop(ctx):

@@ -55,6 +55,25 @@ def test_read_claude_code(spark, claude_file):
     assert rows[0]["conv_id"] == "s1" and rows[0]["platform"] == "claude-code"
 
 
+def test_claude_model_provenance(spark, claude_file):
+    """Model/agent provenance (reference jsonl_to_rdf.py:158-162,
+    common.py:96-113): assistant turns carry message.model; models_seen
+    rolls them up per conversation."""
+    from session_graph_spark.queries import models_seen
+    from session_graph_spark.sources.readers import read_claude_code_jsonl
+
+    t = read_claude_code_jsonl(spark, claude_file)
+    rows = {r["turn_idx"]: r for r in t.collect()}
+    assert rows[1]["model"] == "m-1"   # assistant message.model
+    assert rows[0]["model"] is None    # user rows carry no model
+
+    ms = models_seen(t).collect()
+    assert len(ms) == 1
+    r = ms[0]
+    assert r["conv_id"] == "s1" and r["models_seen"] == "m-1"
+    assert r["first_model"] == "m-1" and r["n_models"] == 1
+
+
 _DS_CONVS = [{
     "id": "d1", "title": "t",
     "mapping": {
