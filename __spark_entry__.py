@@ -317,30 +317,15 @@ def q_pricing_summary(spark, sf):
 
 def q_ann_topk(spark, sf):
     """Similarity search: brute-force cosine top-10 per query vector
-    (query set = vec_id < 5), computed JVM-side with zip_with/aggregate."""
-    e = spark.read.parquet(f"{sf}/embeddings.parquet").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    )
-    q = e.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv")).where(
-        F.col("query_id") < 5
-    )
+    (query set = vec_id < 5) — the operator itself
+    (ann.brute_force_topk), not a reimplementation."""
+    from session_graph_spark.operators.ann import brute_force_topk
 
-    def dot(a, b):
-        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
-                           F.lit(0.0), lambda acc, x: acc + x)
-
-    j = q.crossJoin(e).where(F.col("vec_id") != F.col("query_id"))
-    j = j.withColumn(
-        "cosine",
-        dot(F.col("qv"), F.col("v"))
-        / (F.sqrt(dot(F.col("qv"), F.col("qv"))) * F.sqrt(dot(F.col("v"), F.col("v")))),
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        j.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 10)
-        .select("query_id", "vec_id", "rank", F.round("cosine", 6).alias("cosine"))
-    )
+    return brute_force_topk(e, q, k=10)
 
 
 def q_embedding_label_counts(spark, sf):

@@ -32,8 +32,13 @@ def main() -> None:
 
     from session_graph_spark.session import get_spark
 
+    # above the ~16-task memory-bandwidth knee (BENCH.md microbench), run
+    # reduce stages at half width too: 32 concurrent shuffle tasks degrade
+    # per-task throughput ~23x on this host class, and AQE's size-based
+    # coalescing keeps sub-second queries unaffected either way
+    shuffle_parts = max(cpus if cpus <= 16 else cpus // 2, 8)
     spark = get_spark(app_name="bench", master=f"local[{cpus}]",
-                      shuffle_partitions=max(cpus, 8))
+                      shuffle_partitions=shuffle_parts)
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as E
@@ -76,17 +81,22 @@ def main() -> None:
         fn()
         timings[name] = round(time.time() - t0, 3)
 
+    # extraction is memory-bandwidth-bound: above the ~16-task knee, cap
+    # the ER job's map concurrency (scoped; other queries keep all slots)
+    er_par = cpus // 2 if cpus > 16 else None
+
     # headline: full ER pipeline, turns/sec
     def run_er():
         t = spark.read.parquet(turns_path)
-        res = resolve(spark, t)
+        res = resolve(spark, t, max_parallelism=er_par)
         res.clusters.count()
         res.mention_clusters.count()
 
     timed("er_pipeline", run_er)
 
     # ER over the documents-derived turns of this scale factor
-    timed("er_documents", lambda: resolve(spark, documents_as_turns(spark, sf_dir))
+    timed("er_documents", lambda: resolve(spark, documents_as_turns(spark, sf_dir),
+                                          max_parallelism=er_par)
           .mention_clusters.count())
 
     # representative query-layer / testdata queries

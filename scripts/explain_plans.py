@@ -125,7 +125,30 @@ def main() -> None:
         spark.sql("DROP DATABASE IF EXISTS bdemo")
         shutil.rmtree(wh, ignore_errors=True)
 
-    # 6. hub query over lineitem-sized data: partial aggregation present
+    # 6. IVF cell assignment: broadcast codebook row + array_min — the
+    # plan has NO per-cell nodes (round 2 inlined every centroid as a
+    # literal CASE chain, which explodes past a few hundred cells), and
+    # its size is constant in n_cells
+    from session_graph_spark.operators.ann import _codebook_df, assign_cells
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    ev = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    cents16 = [[float(i)] * 64 for i in range(16)]
+    ivf_plan = explain_str(assign_cells(ev, _codebook_df(spark, cents16)))
+    assert "CASE WHEN" not in ivf_plan, "codebook must not be a literal CASE chain"
+    cents256 = [[float(i)] * 64 for i in range(256)]
+    ivf_plan_256 = explain_str(assign_cells(ev, _codebook_df(spark, cents256)))
+    assert abs(len(ivf_plan_256) - len(ivf_plan)) < 500, \
+        "IVF plan size must be constant in n_cells"
+    sections.append((
+        "IVF cell assignment: broadcast codebook, plan constant in n_cells",
+        ivf_plan,
+        ["BroadcastNestedLoopJoin", "array_min"],
+    ))
+
+    # 7. hub query over lineitem-sized data: partial aggregation present
     li = spark.read.parquet(f"{sf}/lineitem.parquet")
     agg = (li.where(F.col("l_shipdate") <= "1998-09-02")
            .groupBy("l_returnflag").agg(F.sum("l_quantity").alias("sum_qty")))

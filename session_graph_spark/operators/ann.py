@@ -114,23 +114,70 @@ def recall_at_k(approx: DataFrame, exact: DataFrame, k: int = 10) -> float:
 # --------------------------------------------------------------------------
 # IVF (inverted-file) index: coarse k-means quantizer + cell-scoped search
 # --------------------------------------------------------------------------
+def _codebook_df(spark, cents: list[list[float]]) -> DataFrame:
+    """The codebook as a single broadcast row holding all centroids as
+    array<struct<cell, centroid>>. Cell assignment is then ONE map-side
+    expression (array_min over a transform) regardless of n_cells — plan
+    size stays constant where a per-cell literal CASE chain (the round-2
+    shape) grew linearly and exploded past a few hundred cells. At 10^5
+    cells the codebook row is tens of MB: still one broadcast, the same
+    thing faiss ships to every worker."""
+    row = [[(i, [float(x) for x in c]) for i, c in enumerate(cents)]]
+    return spark.createDataFrame(
+        [row], "codebook array<struct<cell:int,centroid:array<double>>>"
+    )
+
+
+def _d2_expr(v: Column, cent: Column) -> Column:
+    return F.aggregate(F.zip_with(v, cent, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _cell_dists(v: Column) -> Column:
+    """array<struct<d, cell>> of squared L2 distances to every codebook
+    centroid; struct ordering gives (distance, cell) tie-breaks for free."""
+    return F.transform(
+        F.col("codebook"),
+        lambda c: F.struct(_d2_expr(v, c["centroid"]).alias("d"),
+                           c["cell"].alias("cell")),
+    )
+
+
+def assign_cells(vectors: DataFrame, codebook: DataFrame) -> DataFrame:
+    """vectors (.., v) -> + cell: nearest centroid id (ties -> lowest
+    cell). Broadcast 1-row cross join + array_min: map-only, no shuffle."""
+    return (
+        vectors.crossJoin(F.broadcast(codebook))
+        .withColumn("cell", F.array_min(_cell_dists(F.col("v")))["cell"])
+        .drop("codebook")
+    )
+
+
 def ivf_centroids(emb: DataFrame, n_cells: int = 16, n_iters: int = 4,
                   id_col: str = "vec_id", vec_col: str = "embedding") -> list[list[float]]:
     """Deterministic coarse quantizer: centroids seeded with the n_cells
     lowest-id vectors, refined by Lloyd iterations computed as DataFrame
-    aggregations (assign = broadcast argmin over centroids, update = mean
-    per cell). Only the centroids (n_cells x dim floats) ever reach the
+    aggregations (assign = broadcast-codebook argmin, update = mean per
+    cell). Only the centroids (n_cells x dim floats) ever reach the
     driver — the per-vector work stays distributed, so the index build is
-    O(iters * N) map work + one small agg per iteration at any scale."""
+    O(iters * N) map work + one small agg per iteration at any scale.
+
+    The per-cell mean is aggregated in DECIMAL (exact, associative), not
+    double — float sums depend on partition combine order, and low-bit
+    centroid drift between runs could flip cell assignments and flake
+    run-to-run comparisons. Decimal makes the mean order-independent, so
+    the determinism claim holds under any partitioning."""
+    spark = emb.sparkSession
     e = emb.select(F.col(id_col).alias("vec_id"),
                    F.transform(vec_col, lambda x: x.cast("double")).alias("v")).cache()
     cents = [r["v"] for r in e.orderBy("vec_id").limit(n_cells).collect()]
     dim = len(cents[0])
     for _ in range(n_iters):
-        assigned = e.withColumn("cell", _nearest_cell(F.col("v"), cents))
+        assigned = assign_cells(e, _codebook_df(spark, cents))
         new = (
             assigned.groupBy("cell")
-            .agg(*[F.avg(F.col("v")[i]).alias(f"c{i}") for i in range(dim)],
+            .agg(*[F.avg(F.col("v")[i].cast("decimal(25,10)")).cast("double")
+                   .alias(f"c{i}") for i in range(dim)],
                  F.count("*").alias("n"))
             .collect()
         )
@@ -141,53 +188,32 @@ def ivf_centroids(emb: DataFrame, n_cells: int = 16, n_iters: int = 4,
     return cents
 
 
-def _nearest_cell(v: Column, cents: list[list[float]]) -> Column:
-    """Argmin over squared L2 distance to each centroid (JVM expressions;
-    the centroid list is inlined as literals, the Spark analog of a
-    broadcast codebook)."""
-    def d2(c: list[float]) -> Column:
-        arr = F.array(*[F.lit(float(x)) for x in c])
-        return F.aggregate(F.zip_with(v, arr, lambda x, y: (x - y) * (x - y)),
-                           F.lit(0.0), lambda acc, x: acc + x)
-
-    best_cell = F.lit(0)
-    best_d = d2(cents[0])
-    for i in range(1, len(cents)):
-        di = d2(cents[i])
-        best_cell = F.when(di < best_d, F.lit(i)).otherwise(best_cell)
-        best_d = F.least(best_d, di)
-    return best_cell
-
-
 def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 10, n_cells: int = 16,
              n_probe: int = 4, n_iters: int = 4, dim: int = 64,
              id_col: str = "vec_id", vec_col: str = "embedding",
              q_id_col: str = "query_id", q_vec_col: str = "qv") -> DataFrame:
     """IVF approximate top-k: build the coarse quantizer, assign every
-    vector to its nearest cell, then score each query ONLY against the
-    vectors in its n_probe nearest cells. The scan fraction is
-    ~n_probe/n_cells of brute force; recall follows the usual IVF
-    tradeoff. Probing is a broadcast join on cell id — no crossJoin."""
+    vector to its nearest cell (broadcast codebook, map-only), then score
+    each query ONLY against the vectors in its n_probe nearest cells. The
+    scan fraction is ~n_probe/n_cells of brute force; recall follows the
+    usual IVF tradeoff. Probing is a broadcast join on cell id — no
+    crossJoin, and no per-cell plan nodes at any n_cells."""
+    spark = emb.sparkSession
     cents = ivf_centroids(emb, n_cells, n_iters, id_col, vec_col)
+    codebook = _codebook_df(spark, cents)
     e = emb.select(F.col(id_col).alias("vec_id"),
                    F.transform(vec_col, lambda x: x.cast("double")).alias("v"))
-    e = e.withColumn("cell", _nearest_cell(F.col("v"), cents))
+    e = assign_cells(e, codebook)
     q = queries.select(F.col(q_id_col).alias("query_id"),
                        F.transform(q_vec_col, lambda x: x.cast("double")).alias("qv"))
 
-    # n_probe nearest cells per query, via the same literal codebook
-    def d2(qv: Column, c: list[float]) -> Column:
-        arr = F.array(*[F.lit(float(x)) for x in c])
-        return F.aggregate(F.zip_with(qv, arr, lambda x, y: (x - y) * (x - y)),
-                           F.lit(0.0), lambda acc, x: acc + x)
-
-    dists = F.array(*[
-        F.struct(d2(F.col("qv"), c).alias("d"), F.lit(i).alias("cell"))
-        for i, c in enumerate(cents)
-    ])
-    probe = F.slice(F.array_sort(dists), 1, n_probe)
-    qp = q.select("query_id", "qv",
-                  F.explode(F.transform(probe, lambda s: s["cell"])).alias("cell"))
+    # n_probe nearest cells per query, via the same broadcast codebook
+    probe = F.slice(F.array_sort(_cell_dists(F.col("qv"))), 1, n_probe)
+    qp = (
+        q.crossJoin(F.broadcast(codebook))
+        .select("query_id", "qv",
+                F.explode(F.transform(probe, lambda s: s["cell"])).alias("cell"))
+    )
 
     j = (
         F.broadcast(qp).join(e, "cell")

@@ -141,6 +141,9 @@ def minhash_lsh_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "do
         verified.select(F.col("id_a").cast("string").alias("u"),
                         F.col("id_b").cast("string").alias("v"))
     )
+    # CC materialized its input (localCheckpoint + count), so the cached
+    # signatures are no longer reachable from any downstream plan
+    sigs.unpersist()
     base = docs.select(F.col(id_col).alias("doc_id"))
     return (
         base.join(comp, base.doc_id.cast("string") == comp.label, "left")
@@ -151,9 +154,17 @@ def minhash_lsh_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "do
 
 def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id", n_hashes: int = 128,
-                            bands: int = 32, shingle_k: int = 3) -> DataFrame:
-    """LSH candidate (id_a, id_b) pairs from banded MinHash signatures
-    (bucket-capped)."""
+                            bands: int = 32, shingle_k: int = 3,
+                            max_bucket_docs: int | None = None) -> DataFrame:
+    """LSH candidate (id_a, id_b) pairs from banded MinHash signatures.
+
+    max_bucket_docs=None (default) keeps EVERY candidate — full recall,
+    the contract of the exact-verified variants below (a cap would
+    silently drop docs 65+ of any band bucket, so a skewed corpus of
+    near-identical boilerplate would lose all their pairs while the
+    verification step still claims exactness). Pass a cap only when the
+    caller owns the recall tradeoff; the estimated-Jaccard scale path
+    (`minhash_lsh_dedup`) stays capped at MAX_BUCKET_DOCS."""
     sigs = minhash_signatures(docs, text_col, id_col, n_hashes, shingle_k)
     r = n_hashes // bands
     banded = sigs.select(
@@ -165,7 +176,8 @@ def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text",
             )
         ).alias("band_idx", "band_key"),
     )
-    banded = _cap_buckets(banded, ["band_idx", "band_key"])
+    if max_bucket_docs is not None:
+        banded = _cap_buckets(banded, ["band_idx", "band_key"], max_bucket_docs)
     return (
         banded.alias("x").join(banded.alias("y"),
                                (F.col("x.band_idx") == F.col("y.band_idx"))
@@ -202,14 +214,17 @@ def word_shingle_jaccard(pairs_with_text: DataFrame, shingle_k: int = 3,
 def minhash_dedup_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n_hashes: int = 128,
                         bands: int = 32, shingle_k: int = 3,
-                        threshold: float = 0.8) -> DataFrame:
-    """Near-dup PAIRS with exact Jaccard: LSH candidate generation, then
+                        threshold: float = 0.8,
+                        max_bucket_docs: int | None = None) -> DataFrame:
+    """Near-dup PAIRS with exact Jaccard: LSH candidate generation
+    (uncapped by default — full recall is this variant's contract), then
     true word-shingle Jaccard verification >= threshold. This is the
     oracle-checkable form (exact-Jaccard semantics, approximation only in
-    recall); `minhash_lsh_dedup` keeps the cheaper estimated-Jaccard
-    verify + CC grouping."""
+    band collision probability); `minhash_lsh_dedup` keeps the cheaper
+    capped estimated-Jaccard verify + CC grouping as the scale path."""
     d = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-    cand = minhash_candidate_pairs(d, "text", "doc_id", n_hashes, bands, shingle_k)
+    cand = minhash_candidate_pairs(d, "text", "doc_id", n_hashes, bands,
+                                   shingle_k, max_bucket_docs)
     ta = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
     tb = d.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
     with_text = cand.join(ta, "id_a").join(tb, "id_b")

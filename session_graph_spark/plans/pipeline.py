@@ -126,13 +126,25 @@ def resolve(
     decisions: DataFrame | None = None,
     processed_watermarks: DataFrame | None = None,
     collect_metrics: bool = False,
+    max_parallelism: int | None = None,
 ) -> ResolutionResult:
     """Run the full ER pipeline. All heavy lifting is DataFrame ops; Python
-    only runs inside Arrow-batched UDFs (extraction, L2 filter, scoring)."""
+    only runs inside Arrow-batched UDFs (extraction, L2 filter, scoring).
+
+    max_parallelism: optional cap on concurrent extraction tasks (a
+    shuffle-free coalesce of the turns input). The regex/extraction stage
+    is memory-bandwidth-bound, not ALU-bound — on this host class
+    per-task throughput degrades ~6x at 16 concurrent tasks and ~23x at
+    32 (BENCH.md microbench) — so above the knee, fewer fatter tasks run
+    faster. Scoped HERE rather than a session-wide spark.task.cpus so
+    sub-second shuffle queries on the same session keep full parallelism
+    (the round-2 global knob cost them ~2x)."""
     aliases = aliases if aliases is not None else alias_df(spark)
 
     turns = prepare_turns(turns)
     turns = filter_unprocessed(turns, processed_watermarks)
+    if max_parallelism:
+        turns = turns.coalesce(max_parallelism)
 
     if checkpoint_dir is None:
         # fast path: no parquet checkpoints, but each multi-consumer

@@ -20,24 +20,25 @@ def get_spark(
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     master = master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
-    n_str = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"
-    n_threads = 32 if n_str == "*" else int(n_str)
+    if "[" in master:  # local[n] / local[*]
+        n_str = master[master.find("[") + 1 : master.find("]")]
+        n_threads = (os.cpu_count() or 8) if n_str == "*" else int(n_str)
+    else:
+        # cluster URL: executor count is unknown here; leave the Spark
+        # default and let the deployer size shuffle_partitions explicitly
+        n_threads = 200
     if shuffle_partitions is None:
         # match parallelism; AQE coalesces small shuffles back down
         shuffle_partitions = n_threads
-    # The string-heavy stages (regex extraction, dedup shuffles) are
-    # memory-bandwidth-bound, not ALU-bound: measured on this class of
-    # host, per-task throughput degrades ~6x at 16 concurrent tasks and
-    # ~23x at 32 (BENCH.md microbench). Above 16 threads we allocate two
-    # hardware threads' worth of bandwidth per task (spark.task.cpus=2) —
-    # the same sizing a memory-bound job ships with on a real cluster —
-    # which halves concurrent tasks and restores near-knee throughput
-    # (130s -> 67s for the sf0.1 ER pipeline at local[32]).
-    task_cpus = "2" if n_threads > 16 else "1"
+    # NOTE: no global spark.task.cpus. The memory-bandwidth knee above ~16
+    # concurrent string-heavy tasks (BENCH.md microbench) is handled where
+    # the bandwidth-bound work lives — resolve(max_parallelism=...)
+    # coalesces the extraction input — because a session-wide task.cpus=2
+    # taxed every sub-second shuffle query ~2x in the round-2 bench, and
+    # on 1-core-executor clusters it makes tasks unschedulable.
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
-        .config("spark.task.cpus", task_cpus)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

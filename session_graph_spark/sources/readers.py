@@ -342,32 +342,48 @@ def warp_turns(queries_df: DataFrame, min_exchanges: int = 5,
     )
 
 
+_WARP_EXPORT_SCHEMA = (
+    "conversation_id string, exchange_id string, start_ts string, "
+    "input string, output string, working_directory string, model_id string"
+)
+
+
 def read_warp_sqlite(spark: SparkSession, db_path: str,
-                     min_exchanges: int = 5, min_text_chars: int = 30) -> DataFrame:
+                     min_exchanges: int = 5, min_text_chars: int = 30,
+                     chunk_rows: int = 50_000) -> DataFrame:
     """S4: read Warp's ai_queries table straight from the SQLite file and
     normalize to turns (reference warp_to_rdf.py:59-87). A SQLite DB is a
-    single local file, so the scan is a driver-side sqlite3 read
-    materialized into a DataFrame — the one-time export step; everything
-    downstream is distributed. Warp stores no assistant text (the
-    reference reads output_status only), so assistant turns are absent
-    unless the caller supplies them."""
+    single local file, so the scan is a driver-side sqlite3 read — the
+    one-time export step; everything downstream is distributed. The read
+    is CHUNKED (fetchmany -> one DataFrame per chunk, unioned) so a
+    multi-GB ai_queries table streams through the driver at
+    chunk_rows-sized memory instead of one fetchall materialization.
+    Warp stores no assistant text (the reference reads output_status
+    only), so assistant turns are absent unless the caller supplies
+    them."""
     import sqlite3
 
     conn = sqlite3.connect(db_path)
+    parts: list[DataFrame] = []
     try:
-        rows = conn.execute(
+        cur = conn.execute(
             "SELECT exchange_id, conversation_id, start_ts, input, "
             "working_directory, output_status, model_id "
             "FROM ai_queries ORDER BY conversation_id, start_ts"
-        ).fetchall()
+        )
+        while True:
+            rows = cur.fetchmany(chunk_rows)
+            if not rows:
+                break
+            parts.append(spark.createDataFrame(
+                [(r[1], r[0], r[2], r[3], None, r[4], r[6]) for r in rows],
+                schema=_WARP_EXPORT_SCHEMA,
+            ))
     finally:
         conn.close()
-    df = spark.createDataFrame(
-        [(r[1], r[0], r[2], r[3], None, r[4], r[6]) for r in rows],
-        schema="conversation_id string, exchange_id string, start_ts string, "
-               "input string, output string, working_directory string, "
-               "model_id string",
-    )
+    df = parts[0] if parts else spark.createDataFrame([], schema=_WARP_EXPORT_SCHEMA)
+    for p in parts[1:]:
+        df = df.unionByName(p)
     return warp_turns(df, min_exchanges=min_exchanges, min_text_chars=min_text_chars)
 
 

@@ -56,9 +56,28 @@ def write_turtle(reified: DataFrame, path: str) -> None:
 
 
 def write_serving_table(df: DataFrame, path: str, expect_min_rows: int = 1) -> int:
-    """S8 analog: append to the serving table, verify with COUNT(*)."""
+    """S8 analog: append to the serving table and verify the APPENDED
+    batch with a count over only the newly written files — the reference's
+    per-upload COUNT verify is per-graph, not per-store
+    (load_fuseki.py:76-94), and a full-table recount would cost O(table
+    history) on every append. Returns the appended row count.
+
+    File-diff listing works on any filesystem path; on an object store
+    swap it for the commit manifest the output committer produces."""
+    import glob
+    import os
+
+    def _files() -> set[str]:
+        return set(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+
+    before = _files() if os.path.isdir(path) else set()
     df.write.mode("append").parquet(path)
-    n = df.sparkSession.read.parquet(path).count()
+    new = sorted(_files() - before)
+    if not new:
+        raise RuntimeError(f"serving table {path}: append produced no files")
+    n = df.sparkSession.read.parquet(*new).count()
     if n < expect_min_rows:
-        raise RuntimeError(f"serving table {path} has {n} rows < {expect_min_rows}")
+        raise RuntimeError(
+            f"serving table {path} append wrote {n} rows < {expect_min_rows}"
+        )
     return n

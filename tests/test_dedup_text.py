@@ -168,6 +168,27 @@ def test_multimodal_plumbing(spark):
     assert d.select("content_hash").distinct().count() == 12
 
 
+def test_exact_variants_keep_full_recall_over_cap(spark):
+    """The exact-Jaccard-verified variants are UNCAPPED by default: a
+    bucket with more docs than MAX_BUCKET_DOCS (skewed boilerplate) must
+    still yield every pair — a silent cap would drop docs 65+ while the
+    verification step claims exactness."""
+    from session_graph_spark.operators.dedup import (MAX_BUCKET_DOCS,
+                                                     minhash_dedup_pairs)
+
+    n = MAX_BUCKET_DOCS + 16  # 80 identical docs, one band bucket
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("identical boilerplate text repeated verbatim").alias("text"),
+    )
+    pairs = minhash_dedup_pairs(docs, threshold=0.8)
+    assert pairs.count() == n * (n - 1) // 2  # full recall past the cap
+    # opting into the cap bounds the join again (caller owns the tradeoff)
+    capped = minhash_dedup_pairs(docs, threshold=0.8,
+                                 max_bucket_docs=MAX_BUCKET_DOCS)
+    assert capped.count() == MAX_BUCKET_DOCS * (MAX_BUCKET_DOCS - 1) // 2
+
+
 def test_dedup_bucket_caps(spark):
     """Scale guard: thousands of identical/boilerplate docs land in one
     band bucket; the per-bucket cap must bound the pair explosion (the

@@ -245,6 +245,11 @@ def test_read_warp_sqlite(spark, tmp_path):
     assert all(r["role"] == "user" for r in rows)
     assert rows[0]["platform"] == "warp" and "postgres" in rows[0]["text"]
 
+    # chunked driver read (multi-GB tables stream at chunk_rows memory):
+    # a chunk size smaller than the table must yield identical output
+    chunked = read_warp_sqlite(spark, db, min_exchanges=5, chunk_rows=2)
+    assert sorted(map(tuple, chunked.collect())) == sorted(map(tuple, t.collect()))
+
 
 def test_warp_turns(spark):
     from session_graph_spark.sources.readers import warp_turns

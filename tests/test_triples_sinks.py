@@ -82,8 +82,14 @@ def test_serving_table_sink(spark, ctx, tmp_path):
     _, mentions = ctx
     n = write_serving_table(mentions.limit(10), str(tmp_path / "serve"), 10)
     assert n == 10
-    n2 = write_serving_table(mentions.limit(10), str(tmp_path / "serve"), 20)
-    assert n2 == 20  # append semantics
+    # the verify counts only the APPENDED batch (delta files), so its cost
+    # — and its value — is independent of the existing table size
+    n2 = write_serving_table(mentions.limit(10), str(tmp_path / "serve"), 10)
+    assert n2 == 10
+    total = spark.read.parquet(str(tmp_path / "serve")).count()
+    assert total == 20  # append semantics preserved
+    with pytest.raises(RuntimeError):
+        write_serving_table(mentions.limit(3), str(tmp_path / "serve"), 5)
 
 
 def test_streaming_windowed_agg(spark, tmp_path):
