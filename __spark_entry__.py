@@ -521,6 +521,16 @@ def q_er_labels(spark, sf):
     return lab.select("canon_label", "n_sessions", "block_key").orderBy("canon_label")
 
 
+def q_kb_link_metrics(spark, sf):
+    """A4-style link-run metrics (reference link_entities.py:760-786
+    summary counters): linked / below_threshold / not_found counts and
+    shares over the context-free KB link of distinct document tokens."""
+    from session_graph_spark.operators.linking import kb_df, link_metrics, link_to_kb
+
+    labels = _tokens(spark, sf).select(F.col("token").alias("label"))
+    return link_metrics(link_to_kb(labels, kb_df(spark), label_col="label"))
+
+
 def q_er_edges_exact(spark, sf):
     """The ER pipeline's deterministic identity channel (alias edges +
     slug-equality pairs, reference common.py:29-37) — the SQL-expressible
@@ -767,6 +777,80 @@ def _er_edges_exact_oracle() -> str:
         ORDER BY channel, label_a, label_b"""
 
 
+def _kb_link_metrics_oracle() -> str:
+    """Status rollup over the same ladder CTE as the kb_linking oracle."""
+    return f"""
+        WITH q AS (SELECT DISTINCT lower(trim(token)) AS label FROM {_TOK_SQL}),
+             {_kb_dim_sql()},
+             cand AS (SELECT q.label, d.kb_id, d.via_alias, d.is_tech
+                      FROM q LEFT JOIN dim d ON q.label = d.match_key),
+             scored AS (SELECT label, kb_id,
+                          (CASE WHEN kb_id IS NULL THEN 0.0
+                                WHEN NOT via_alias THEN 1.0
+                                WHEN is_tech THEN 0.8
+                                ELSE 0.5 END)::DOUBLE AS confidence
+                        FROM cand),
+             best AS (SELECT label, confidence,
+                             row_number() OVER (PARTITION BY label
+                                                ORDER BY confidence DESC, kb_id)
+                             AS rk
+                      FROM scored),
+             outp AS (SELECT CASE WHEN confidence >= 0.7 THEN 'linked'
+                                  WHEN confidence > 0.0 THEN 'below_threshold'
+                                  ELSE 'not_found' END AS status
+                      FROM best WHERE rk = 1)
+        SELECT status, count(*) AS n,
+               round(count(*) * 1.0 / (SELECT count(*) FROM outp), 4) AS share
+        FROM outp GROUP BY status ORDER BY status"""
+
+
+def _ann_lsh_oracle() -> str:
+    """DuckDB mirror of lsh_topk (q_ann_lsh_topk params: 4 planes x 8
+    tables, dim 64, k 10): the hyperplanes are seeded CONSTANTS
+    (ann._planes), so the whole approximate search — sign-sketch buckets,
+    bucket join, distinct candidates, cosine rank — is SQL-expressible.
+    Plane literals are repr-round-tripped doubles (bit-exact)."""
+    from session_graph_spark.operators.ann import _planes
+
+    n_planes, n_tables, dim = 4, 8, 64
+    rows = []
+    for t in range(n_tables):
+        pl = _planes(dim, n_planes, t)
+        for i in range(n_planes):
+            vec = ", ".join(repr(float(x)) for x in pl[i])
+            rows.append(f"({t}, {i}, [{vec}]::DOUBLE[])")
+    values = ",\n             ".join(rows)
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+             planes(tbl, idx, p) AS (VALUES
+             {values}),
+             eb AS (SELECT vec_id, v,
+                      't' || tbl || ':' ||
+                      string_agg(CASE WHEN list_dot_product(v, p) > 0
+                                      THEN '1' ELSE '0' END, '' ORDER BY idx)
+                      AS bucket
+                    FROM e CROSS JOIN planes GROUP BY vec_id, v, tbl),
+             qb AS (SELECT query_id, qv,
+                      't' || tbl || ':' ||
+                      string_agg(CASE WHEN list_dot_product(qv, p) > 0
+                                      THEN '1' ELSE '0' END, '' ORDER BY idx)
+                      AS bucket
+                    FROM q CROSS JOIN planes GROUP BY query_id, qv, tbl),
+             cand AS (SELECT DISTINCT query_id, qv, vec_id, v
+                      FROM qb JOIN eb USING (bucket)
+                      WHERE vec_id != query_id),
+             scored AS (SELECT query_id, vec_id,
+                               list_cosine_similarity(qv, v) AS cos
+                        FROM cand),
+             r AS (SELECT query_id, vec_id, cos,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY cos DESC, vec_id) AS rank
+                   FROM scored)
+        SELECT query_id, vec_id, rank, round(cos, 6) AS cosine
+        FROM r WHERE rank <= 10"""
+
+
 def _models_seen_oracle() -> str:
     return """
         SELECT source,
@@ -959,6 +1043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kb_linking_ctx": q_kb_linking_ctx,
         "kb_enrichment": q_kb_enrichment,
         "models_seen": q_models_seen,
+        "kb_link_metrics": q_kb_link_metrics,
         "er_labels": q_er_labels,
         "er_edges_exact": q_er_edges_exact,
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
@@ -1131,8 +1216,10 @@ def oracle_sql() -> dict[str, str]:
         "kb_linking_ctx": _kb_linking_ctx_oracle(),
         "kb_enrichment": _kb_enrichment_oracle(),
         "models_seen": _models_seen_oracle(),
+        "kb_link_metrics": _kb_link_metrics_oracle(),
         "er_labels": _er_labels_oracle(),
         "er_edges_exact": _er_edges_exact_oracle(),
+        "ann_lsh_topk": _ann_lsh_oracle(),
         "minhash_dedup_pairs": """
             WITH d AS (SELECT doc_id,
                          list_distinct(
@@ -1184,7 +1271,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, coalesce(grp.dup_group, doc_id) AS dup_group
             FROM documents LEFT JOIN grp USING (doc_id)
             ORDER BY doc_id""",
-        # er_clusters / ann_lsh_topk / ann_ivf_topk stay rows-only:
-        # pairwise-scoring UDF kernels over LSH candidates and approximate
-        # ANN have no faithful single-statement SQL form
+        # er_clusters / ann_ivf_topk stay rows-only: the pairwise-scoring
+        # UDF kernel over LSH candidates has no faithful single-statement
+        # SQL form, and the IVF codebook is learned from the data by
+        # iterative Lloyd steps (the oracle string is built without a
+        # session, so it cannot re-derive per-sf centroids). ann_lsh_topk
+        # IS oracled: its hyperplanes are seeded constants.
     }
