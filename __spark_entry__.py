@@ -747,6 +747,91 @@ def _er_labels_oracle() -> str:
         ORDER BY canon_label"""
 
 
+def _er_clusters_oracle() -> str:
+    """Full ER-pipeline oracle: the similarity kernel (0.45*JW +
+    0.35*lev_ratio + 0.20*trigram_jaccard, threshold 0.7,
+    functions/similarity.py) is computable in DuckDB — its
+    jaro_winkler_similarity and levenshtein built-ins are bit-identical
+    to ours (property-tested in tests/test_similarity.py), and the padded
+    char-trigram Jaccard is a list expression. Candidates = exact
+    block-key pairs UNION all pairs passing the blocking length prefilter
+    (|la-lb| <= 0.34*max) — a superset of the Spark LSH buckets, so
+    parity additionally asserts LSH recall completeness on pairs that
+    pass prefilter+threshold (same corpus-level claim as the
+    minhash_dedup_pairs oracle; the F1=1.0 gate tests it independently).
+    Clusters = transitive closure, lexicographic-min canonical,
+    singletons mapping to themselves (operators/cc.py semantics)."""
+    return f"""
+        WITH RECURSIVE {_mentions_cte()},
+        {_er_labels_cte()},
+        {_score_cc_cte("er_labels")}
+        SELECT l.canon_label AS label,
+               coalesce(grp.cluster_id, l.canon_label) AS cluster_id
+        FROM (SELECT DISTINCT canon_label FROM er_labels) l
+        LEFT JOIN grp ON l.canon_label = grp.label
+        ORDER BY label"""
+
+
+def kernel_score_sql(a: str, b: str, ta: str = "ta", tb: str = "tb") -> str:
+    """The DuckDB form of similarity.combined_score for a != b: bit-equal
+    to the Python kernel (same IEEE-double expression order; DuckDB's
+    jaro_winkler_similarity and levenshtein are algorithm-identical to
+    ours — property-tested in tests/test_similarity.py). `ta`/`tb` are
+    padded-trigram list columns built with trigram_list_sql."""
+    return f"""0.45 * jaro_winkler_similarity({a}, {b})
+            + 0.35 * (1.0 - levenshtein({a}, {b}) * 1.0
+                      / greatest(length({a}), length({b})))
+            + 0.20 * (len(list_intersect({ta}, {tb})) * 1.0
+                      / (len({ta}) + len({tb}) - len(list_intersect({ta}, {tb}))))"""
+
+
+def trigram_list_sql(c: str) -> str:
+    """similarity._trigrams in DuckDB: distinct 3-grams of '  s '."""
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, length('  '||{c}||' ') - 1), "
+        f"i -> substring('  '||{c}||' ', i::INT, 3)))"
+    )
+
+
+def _score_cc_cte(labels_rel: str) -> str:
+    """Blocking + kernel scoring + transitive-closure CTE chain over a
+    relation with (canon_label, block_key) columns; defines `grp(label,
+    cluster_id)`. Shared by the er_clusters oracle and the pytest that
+    replays it over the typo-planted corpus (where merges DO happen)."""
+    return f"""
+        lab AS (SELECT DISTINCT canon_label, block_key FROM {labels_rel}),
+        exact AS (
+          SELECT a.canon_label AS label_a, b.canon_label AS label_b
+          FROM lab a JOIN lab b USING (block_key)
+          WHERE a.canon_label < b.canon_label),
+        fuzzy AS (
+          SELECT a.canon_label AS label_a, b.canon_label AS label_b
+          FROM lab a JOIN lab b ON a.canon_label < b.canon_label
+          WHERE abs(length(a.canon_label) - length(b.canon_label))
+                <= greatest(length(a.canon_label), length(b.canon_label)) * 0.34),
+        cand AS (SELECT DISTINCT label_a, label_b
+                 FROM (SELECT * FROM exact UNION ALL SELECT * FROM fuzzy)),
+        g AS (
+          SELECT label_a, label_b,
+                 {trigram_list_sql('label_a')} AS ta,
+                 {trigram_list_sql('label_b')} AS tb
+          FROM cand),
+        scored AS (
+          SELECT label_a, label_b,
+            {kernel_score_sql('label_a', 'label_b')} AS score
+          FROM g),
+        p AS (SELECT label_a, label_b FROM scored WHERE score >= 0.7),
+        e AS (SELECT label_a AS u, label_b AS v FROM p
+              UNION ALL SELECT label_b, label_a FROM p),
+        reach(a, b) AS (
+          SELECT u, v FROM e
+          UNION
+          SELECT r.a, e2.v FROM reach r JOIN e e2 ON r.b = e2.u),
+        grp AS (SELECT a AS label, least(min(b), a) AS cluster_id
+                FROM reach GROUP BY a)"""
+
+
 def _er_edges_exact_oracle() -> str:
     """exact_edges mirror: alias identity edges over distinct mention
     labels, plus slug-equality pairs over distinct canonicals."""
@@ -1218,6 +1303,7 @@ def oracle_sql() -> dict[str, str]:
         "models_seen": _models_seen_oracle(),
         "kb_link_metrics": _kb_link_metrics_oracle(),
         "er_labels": _er_labels_oracle(),
+        "er_clusters": _er_clusters_oracle(),
         "er_edges_exact": _er_edges_exact_oracle(),
         "ann_lsh_topk": _ann_lsh_oracle(),
         "minhash_dedup_pairs": """
@@ -1271,10 +1357,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, coalesce(grp.dup_group, doc_id) AS dup_group
             FROM documents LEFT JOIN grp USING (doc_id)
             ORDER BY doc_id""",
-        # er_clusters / ann_ivf_topk stay rows-only: the pairwise-scoring
-        # UDF kernel over LSH candidates has no faithful single-statement
-        # SQL form, and the IVF codebook is learned from the data by
-        # iterative Lloyd steps (the oracle string is built without a
-        # session, so it cannot re-derive per-sf centroids). ann_lsh_topk
-        # IS oracled: its hyperplanes are seeded constants.
+        # ann_ivf_topk is the single remaining rows-only query: the IVF
+        # codebook is learned from the data by iterative Lloyd steps (the
+        # oracle string is built without a session, so it cannot re-derive
+        # per-sf centroids); its exact baseline ann_topk IS oracled, and
+        # pytest asserts probe-all == exact.
     }

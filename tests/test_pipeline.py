@@ -131,3 +131,38 @@ def test_with_salt_skew_helper(spark):
     keys = {r["salted_key"] for r in rows}
     assert 1 < len(keys) <= 16
     assert all(x.startswith("python#") for x in keys)
+
+
+def test_sql_cc_replays_pipeline_merges(result):
+    """Replay the er_clusters DuckDB oracle's score+CC chain over the
+    pipeline's own labels stage on the typo-planted corpus — where real
+    merges happen (unlike the driver's documents table, whose labels are
+    all singletons) — and require identical cluster assignments. This is
+    the merge-path half of the oracle-parity claim: all-pairs-prefilter
+    candidates + DuckDB kernel + recursive closure == LSH candidates +
+    Arrow kernel + distributed CC."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "/root/repo")
+    from __spark_entry__ import _score_cc_cte
+
+    labels_pdf = result.labels.select("canon_label", "block_key").toPandas()
+    expected = {
+        r["label"]: r["cluster_id"] for r in result.clusters.collect()
+    }
+
+    con = duckdb.connect()
+    con.register("labels_t", labels_pdf)
+    sql = f"""
+        WITH RECURSIVE {_score_cc_cte("labels_t")}
+        SELECT l.canon_label AS label,
+               coalesce(grp.cluster_id, l.canon_label) AS cluster_id
+        FROM (SELECT DISTINCT canon_label FROM labels_t) l
+        LEFT JOIN grp ON l.canon_label = grp.label"""
+    got = {a: c for a, c in con.execute(sql).fetchall()}
+
+    assert got == expected
+    # the corpus must actually exercise merges for this to mean anything
+    assert sum(1 for k, v in got.items() if k != v) >= 10

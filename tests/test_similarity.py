@@ -66,3 +66,41 @@ def test_batch_kernel_matches_scalar():
     assert got[2] == 1.0
     assert got[0] == pytest.approx(S.combined_score("kubernets", "kubernetes"))
     assert got[3] == S.combined_score("", "x")
+
+
+def test_duckdb_kernel_bit_parity():
+    """The er_clusters DuckDB oracle relies on DuckDB's
+    jaro_winkler_similarity/levenshtein being bit-identical to our kernel
+    (__spark_entry__.kernel_score_sql). Pin that claim on seeded random
+    strings plus the curated positive/negative label pairs."""
+    import random
+    import string
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "/root/repo")
+    from __spark_entry__ import kernel_score_sql, trigram_list_sql
+
+    rng = random.Random(1234)
+    alphabet = string.ascii_lowercase + " .-_0123456789"
+    pairs = [
+        ("kubernets", "kubernetes"), ("java", "javascript"),
+        ("pyhton", "python"), ("apache spark", "apache kafka"),
+        ("go", "graphql"), ("node.js", "nodejs"),
+    ]
+    for _ in range(500):
+        a = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 16)))
+        b = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 16)))
+        if a != b:
+            pairs.append((a, b))
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p(a VARCHAR, b VARCHAR)")
+    con.executemany("INSERT INTO p VALUES (?, ?)", pairs)
+    sql = f"""
+        WITH g AS (SELECT a, b, {trigram_list_sql('a')} AS ta,
+                          {trigram_list_sql('b')} AS tb FROM p)
+        SELECT a, b, {kernel_score_sql('a', 'b')} AS score FROM g"""
+    for a, b, score in con.execute(sql).fetchall():
+        assert score == S.combined_score(a, b), (a, b, score, S.combined_score(a, b))
