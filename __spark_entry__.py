@@ -556,6 +556,31 @@ def q_minhash_dedup_pairs(spark, sf):
     return minhash_dedup_pairs(_docs(spark, sf), threshold=0.8).orderBy("id_a", "id_b")
 
 
+def q_simhash_dedup(spark, sf):
+    """SimHash near-dup candidate pairs within Hamming distance 3 (4x16-bit
+    band blocking, pigeonhole-complete). The word hash is md5-lower-64 —
+    the exact value DuckDB's md5_number_lower() computes — so the whole
+    operator (hash, bit votes, bands, cap, Hamming filter) is mirrored
+    value-for-value in the oracle."""
+    from session_graph_spark.operators.dedup import simhash_dedup
+
+    return simhash_dedup(_docs(spark, sf), max_hamming=3).orderBy("id_a", "id_b")
+
+
+def q_embedding_neardup(spark, sf):
+    """Embedding cosine near-dup pairs via seeded hyperplane-LSH blocking
+    (dedup.embedding_dedup). The testdata embeddings are random vectors
+    (max pairwise cosine ~0.51 — planted-duplicate recall is covered in
+    pytest), so this exercises the bucket/cap/threshold machinery at
+    threshold 0.2 with 4 planes; the seeded planes are constants, making
+    the approximate search fully SQL-expressible (same claim as
+    ann_lsh_topk)."""
+    from session_graph_spark.operators.dedup import embedding_dedup
+
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return embedding_dedup(e, threshold=0.2, n_planes=4).orderBy("id_a", "id_b")
+
+
 # --- rows-only (non-SQL-expressible: pandas-UDF extraction, LSH, iterative CC)
 def q_er_clusters(spark, sf):
     """Full ER pipeline over turns derived from documents; returns the
@@ -936,6 +961,89 @@ def _ann_lsh_oracle() -> str:
         FROM r WHERE rank <= 10"""
 
 
+def _simhash_dedup_oracle() -> str:
+    """Value-level SimHash mirror: md5_number_lower word hashes, per-bit
+    majority votes, 4x16-bit bands with the 64-doc cap, Hamming <= 3.
+    The unsigned 64-bit simhash is assembled in HUGEINT and reduced to
+    the two's-complement BIGINT Spark emits."""
+    return """
+        WITH w0 AS (SELECT doc_id,
+                      list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x != '') AS ws
+                    FROM documents),
+        w AS (SELECT doc_id, unnest(ws) AS word FROM w0 WHERE len(ws) > 0),
+        h AS (SELECT doc_id, md5_number_lower(word) AS hv FROM w),
+        bits AS (SELECT doc_id, bp.b AS b,
+                        sum(((hv >> bp.b) % 2)::HUGEINT) AS ones,
+                        count(*) AS n
+                 FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bp
+                 GROUP BY doc_id, bp.b),
+        sh0 AS (SELECT doc_id,
+                       sum(CASE WHEN 2 * ones > n
+                                THEN ((1::UBIGINT << b))::HUGEINT
+                                ELSE 0::HUGEINT END) AS u
+                FROM bits GROUP BY doc_id),
+        sv AS (SELECT d.doc_id, coalesce(s.u, 0::HUGEINT) AS u,
+                      (CASE WHEN coalesce(s.u, 0::HUGEINT) >= 9223372036854775808::HUGEINT
+                            THEN coalesce(s.u, 0::HUGEINT) - 18446744073709551616::HUGEINT
+                            ELSE coalesce(s.u, 0::HUGEINT) END)::BIGINT AS sh
+               FROM documents d LEFT JOIN sh0 s USING (doc_id)),
+        pw(i, p) AS (VALUES (0, 1::HUGEINT), (1, 65536::HUGEINT),
+                            (2, 4294967296::HUGEINT),
+                            (3, 281474976710656::HUGEINT)),
+        banded AS (SELECT doc_id, sh, i AS band_idx,
+                          ((u // p) % 65536)::BIGINT AS band_val
+                   FROM sv CROSS JOIN pw),
+        capped AS (SELECT * FROM (
+                     SELECT doc_id, sh, band_idx, band_val,
+                            row_number() OVER (PARTITION BY band_idx, band_val
+                                               ORDER BY doc_id) AS rn
+                     FROM banded) WHERE rn <= 64),
+        pairs AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+                         x.sh AS sh_a, y.sh AS sh_b
+                  FROM capped x JOIN capped y
+                    ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+                       AND x.doc_id < y.doc_id)
+        SELECT id_a, id_b, bit_count(xor(sh_a, sh_b))::INT AS hamming
+        FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 3
+        ORDER BY id_a, id_b"""
+
+
+def _embedding_neardup_oracle() -> str:
+    """embedding_dedup mirror (threshold 0.2, 4 seeded planes, table 0):
+    plane constants inlined as VALUES, sign-sketch bucket, 64-doc cap,
+    in-bucket cosine filter + round."""
+    from session_graph_spark.operators.ann import _planes
+
+    pl = _planes(64, 4, 0)
+    rows = []
+    for i in range(4):
+        vec = ", ".join(repr(float(x)) for x in pl[i])
+        rows.append(f"({i}, [{vec}]::DOUBLE[])")
+    values = ",\n             ".join(rows)
+    return f"""
+        WITH e AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v
+                   FROM embeddings),
+        planes(idx, p) AS (VALUES
+             {values}),
+        b AS (SELECT doc_id, v,
+                't0:' || string_agg(CASE WHEN list_dot_product(v, p) > 0
+                                         THEN '1' ELSE '0' END, ''
+                                    ORDER BY idx) AS bucket
+              FROM e CROSS JOIN planes GROUP BY doc_id, v),
+        capped AS (SELECT * FROM (
+                     SELECT doc_id, v, bucket,
+                            row_number() OVER (PARTITION BY bucket
+                                               ORDER BY doc_id) AS rn
+                     FROM b) WHERE rn <= 64),
+        pr AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+                      list_cosine_similarity(x.v, y.v) AS c
+               FROM capped x JOIN capped y
+                 ON x.bucket = y.bucket AND x.doc_id < y.doc_id)
+        SELECT id_a, id_b, round(c, 6) AS cosine
+        FROM pr WHERE c >= 0.2 ORDER BY id_a, id_b"""
+
+
 def _models_seen_oracle() -> str:
     return """
         SELECT source,
@@ -1132,6 +1240,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_labels": q_er_labels,
         "er_edges_exact": q_er_edges_exact,
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
+        "simhash_dedup": q_simhash_dedup,
+        "embedding_neardup": q_embedding_neardup,
         "er_clusters": q_er_clusters,
         "er_mentions": q_er_mentions,
         "triple_hubs": q_triple_hubs,
@@ -1306,6 +1416,8 @@ def oracle_sql() -> dict[str, str]:
         "er_clusters": _er_clusters_oracle(),
         "er_edges_exact": _er_edges_exact_oracle(),
         "ann_lsh_topk": _ann_lsh_oracle(),
+        "simhash_dedup": _simhash_dedup_oracle(),
+        "embedding_neardup": _embedding_neardup_oracle(),
         "minhash_dedup_pairs": """
             WITH d AS (SELECT doc_id,
                          list_distinct(

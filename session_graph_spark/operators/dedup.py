@@ -18,6 +18,8 @@ the mention-ER pipeline — this is record linkage over documents).
 
 from __future__ import annotations
 
+import hashlib
+import struct
 import zlib
 from collections.abc import Iterator
 
@@ -262,16 +264,21 @@ def minhash_dedup_groups_exact(docs: DataFrame, text_col: str = "text",
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------
+def _word_hash64(w: str) -> int:
+    """Lower 64 bits of md5, little-endian — the exact value DuckDB's
+    md5_number_lower() returns, so SimHash is oracle-mirrorable in SQL."""
+    return struct.unpack("<Q", hashlib.md5(w.encode()).digest()[8:])[0]
+
+
 def simhash_batch(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash over word-token crc32x2 hashes (vectorized inner loop)."""
+    """64-bit SimHash over md5-lower-64 word hashes (vectorized inner loop)."""
     out = np.zeros(len(texts), dtype=np.uint64)
     for i, text in enumerate(texts.fillna("")):
         words = text.lower().split()
         if not words:
             continue
-        hs = np.array(
-            [zlib.crc32(w.encode()) | (zlib.crc32(w[::-1].encode()) << 32) for w in words],
-            dtype=np.uint64,
+        hs = np.fromiter(
+            (_word_hash64(w) for w in words), dtype=np.uint64, count=len(words)
         )
         bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
         vote = bits.sum(axis=0) * 2 - len(hs)
