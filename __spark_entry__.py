@@ -1044,6 +1044,88 @@ def _embedding_neardup_oracle() -> str:
         FROM pr WHERE c >= 0.2 ORDER BY id_a, id_b"""
 
 
+def _ann_ivf_oracle() -> str:
+    """DuckDB mirror of ivf_topk (q_ann_ivf_topk params: 16 cells, 4
+    Lloyd iterations, n_probe 6, k 10): the quantizer is deterministic
+    (seeded with the 16 lowest-id vectors, per-cell means in exact
+    DECIMAL(25,10)), so the whole index build unrolls as one CTE chain —
+    init, then per iteration assign (argmin d2, ties -> lowest cell) and
+    update (decimal mean, empty cells keep previous). DuckDB's decimal
+    division rounds the 14th decimal differently from Spark's avg, so
+    centroids agree only to ~3e-12 — but every discrete decision
+    downstream (cell argmin, probe choice) has margins many orders
+    larger on real data, and the output cosines are computed from the
+    ORIGINAL vectors, so the value hash is unaffected."""
+    n_cells, n_iters, dim, n_probe, k = 16, 4, 64, 6, 10
+    parts = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""c0 AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cell, v
+               FROM e ORDER BY vec_id LIMIT {n_cells})""",
+        f"dims AS (SELECT unnest(range(1, {dim}+1))::INT AS i)",
+    ]
+    d2 = (
+        f"list_sum(list_transform(range(1, {dim}+1), "
+        f"i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i])))"
+    )
+    for t in range(n_iters):
+        parts.append(f"""d{t} AS (
+          SELECT e.vec_id, e.v, c.cell, {d2} AS d2
+          FROM e CROSS JOIN c{t} c)""")
+        parts.append(f"""a{t} AS (
+          SELECT vec_id, v, cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY d2, cell) AS rn
+            FROM d{t}) WHERE rn = 1)""")
+        parts.append(f"""u{t} AS (
+          SELECT cell, i, sum(CAST(v[i] AS DECIMAL(25,10))) AS s,
+                 count(*) AS n
+          FROM a{t} CROSS JOIN dims GROUP BY cell, i)""")
+        parts.append(f"""m{t} AS (
+          SELECT cell, list(CAST(s / n AS DOUBLE) ORDER BY i) AS v
+          FROM u{t} GROUP BY cell)""")
+        parts.append(f"""c{t+1} AS (
+          SELECT c.cell, coalesce(m.v, c.v) AS v
+          FROM c{t} c LEFT JOIN m{t} m USING (cell))""")
+    final = n_iters
+    parts.append(f"""dv AS (
+          SELECT e.vec_id, e.v, c.cell, {d2} AS d2
+          FROM e CROSS JOIN c{final} c)""")
+    parts.append("""av AS (
+          SELECT vec_id, v, cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY d2, cell) AS rn
+            FROM dv) WHERE rn = 1)""")
+    parts.append("""q AS (SELECT vec_id AS query_id, v AS qv FROM e
+                          WHERE vec_id < 5)""")
+    qd2 = (
+        f"list_sum(list_transform(range(1, {dim}+1), "
+        f"i -> (q.qv[i] - c.v[i]) * (q.qv[i] - c.v[i])))"
+    )
+    parts.append(f"""qp AS (
+          SELECT query_id, qv, cell FROM (
+            SELECT q.query_id, q.qv, c.cell,
+                   row_number() OVER (PARTITION BY q.query_id
+                                      ORDER BY {qd2}, c.cell) AS rn
+            FROM q CROSS JOIN c{final} c) WHERE rn <= {n_probe})""")
+    parts.append("""cand AS (
+          SELECT qp.query_id, qp.qv, av.vec_id, av.v
+          FROM qp JOIN av USING (cell)
+          WHERE av.vec_id != qp.query_id)""")
+    parts.append("""r AS (
+          SELECT query_id, vec_id,
+                 list_cosine_similarity(qv, v) AS cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY list_cosine_similarity(qv, v)
+                                    DESC, vec_id) AS rank
+          FROM cand)""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+        SELECT query_id, vec_id, rank, round(cos, 6) AS cosine
+        FROM r WHERE rank <= {k}"""
+    )
+
+
 def _models_seen_oracle() -> str:
     return """
         SELECT source,
@@ -1416,6 +1498,7 @@ def oracle_sql() -> dict[str, str]:
         "er_clusters": _er_clusters_oracle(),
         "er_edges_exact": _er_edges_exact_oracle(),
         "ann_lsh_topk": _ann_lsh_oracle(),
+        "ann_ivf_topk": _ann_ivf_oracle(),
         "simhash_dedup": _simhash_dedup_oracle(),
         "embedding_neardup": _embedding_neardup_oracle(),
         "minhash_dedup_pairs": """
@@ -1469,9 +1552,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, coalesce(grp.dup_group, doc_id) AS dup_group
             FROM documents LEFT JOIN grp USING (doc_id)
             ORDER BY doc_id""",
-        # ann_ivf_topk is the single remaining rows-only query: the IVF
-        # codebook is learned from the data by iterative Lloyd steps (the
-        # oracle string is built without a session, so it cannot re-derive
-        # per-sf centroids); its exact baseline ann_topk IS oracled, and
-        # pytest asserts probe-all == exact.
+        # Every queries() entry has an oracle: the last holdout,
+        # ann_ivf_topk, unrolls its deterministic Lloyd quantizer as a
+        # CTE chain (see _ann_ivf_oracle).
     }
