@@ -581,6 +581,31 @@ def q_embedding_neardup(spark, sf):
     return embedding_dedup(e, threshold=0.2, n_planes=4).orderBy("id_a", "id_b")
 
 
+def q_media_features(spark, sf):
+    """Multimodal plumbing exercised on driver data: documents become a
+    media-asset table (deterministic UTF-8 bytes as the opaque binary
+    column, kind cycled by doc_id), run through the real mapInPandas
+    feature-extraction path (operators/multimodal.py:extract_features —
+    per-asset rows for image/audio, 3 sampled frames for video). The
+    stubbed feature vector is excluded; the oracled surface is the
+    plumbing itself: byte length, content sha, frame fan-out."""
+    from session_graph_spark.operators.multimodal import extract_features
+
+    assets = _docs(spark, sf).select(
+        F.col("doc_id").alias("asset_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode("text", "UTF-8").alias("media"),
+    )
+    return (
+        extract_features(assets)
+        .select("asset_id", "kind", "n_bytes", "content_sha", "frame_idx")
+        .orderBy("asset_id", "frame_idx")
+    )
+
+
 # --- rows-only (non-SQL-expressible: pandas-UDF extraction, LSH, iterative CC)
 def q_er_clusters(spark, sf):
     """Full ER pipeline over turns derived from documents; returns the
@@ -1044,6 +1069,24 @@ def _embedding_neardup_oracle() -> str:
         FROM pr WHERE c >= 0.2 ORDER BY id_a, id_b"""
 
 
+def _media_features_oracle() -> str:
+    """Plumbing mirror: DuckDB sha256(VARCHAR) hashes the UTF-8 bytes —
+    the same bytes Spark's encode(text,'UTF-8') feeds the pandas path."""
+    return """
+        WITH a AS (SELECT doc_id AS asset_id,
+                          CASE (doc_id % 3) WHEN 0 THEN 'image'
+                                            WHEN 1 THEN 'audio'
+                                            ELSE 'video' END AS kind,
+                          text
+                   FROM documents)
+        SELECT asset_id, kind,
+               octet_length(encode(text))::INT AS n_bytes,
+               substring(sha256(text), 1, 16) AS content_sha,
+               unnest(range(0, CASE WHEN kind = 'video' THEN 3 ELSE 1 END))::INT
+                 AS frame_idx
+        FROM a ORDER BY asset_id, frame_idx"""
+
+
 def _ann_ivf_oracle() -> str:
     """DuckDB mirror of ivf_topk (q_ann_ivf_topk params: 16 cells, 4
     Lloyd iterations, n_probe 6, k 10): the quantizer is deterministic
@@ -1324,6 +1367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
         "simhash_dedup": q_simhash_dedup,
         "embedding_neardup": q_embedding_neardup,
+        "media_features": q_media_features,
         "er_clusters": q_er_clusters,
         "er_mentions": q_er_mentions,
         "triple_hubs": q_triple_hubs,
@@ -1501,6 +1545,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _ann_ivf_oracle(),
         "simhash_dedup": _simhash_dedup_oracle(),
         "embedding_neardup": _embedding_neardup_oracle(),
+        "media_features": _media_features_oracle(),
         "minhash_dedup_pairs": """
             WITH d AS (SELECT doc_id,
                          list_distinct(
