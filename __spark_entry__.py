@@ -1019,16 +1019,17 @@ def _simhash_dedup_oracle() -> str:
         banded AS (SELECT doc_id, sh, i AS band_idx,
                           ((u // p) % 65536)::BIGINT AS band_val
                    FROM sv CROSS JOIN pw),
-        capped AS (SELECT * FROM (
+        capped AS (SELECT doc_id, sh, band_idx, band_val,
+                          ((rn - 1) // 64)::INT AS salt FROM (
                      SELECT doc_id, sh, band_idx, band_val,
                             row_number() OVER (PARTITION BY band_idx, band_val
                                                ORDER BY doc_id) AS rn
-                     FROM banded) WHERE rn <= 64),
+                     FROM banded)),
         pairs AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
                          x.sh AS sh_a, y.sh AS sh_b
                   FROM capped x JOIN capped y
                     ON x.band_idx = y.band_idx AND x.band_val = y.band_val
-                       AND x.doc_id < y.doc_id)
+                       AND x.salt = y.salt AND x.doc_id < y.doc_id)
         SELECT id_a, id_b, bit_count(xor(sh_a, sh_b))::INT AS hamming
         FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 3
         ORDER BY id_a, id_b"""
@@ -1056,15 +1057,17 @@ def _embedding_neardup_oracle() -> str:
                                          THEN '1' ELSE '0' END, ''
                                     ORDER BY idx) AS bucket
               FROM e CROSS JOIN planes GROUP BY doc_id, v),
-        capped AS (SELECT * FROM (
+        capped AS (SELECT doc_id, v, bucket, ((rn - 1) // 64)::INT AS salt
+                   FROM (
                      SELECT doc_id, v, bucket,
                             row_number() OVER (PARTITION BY bucket
                                                ORDER BY doc_id) AS rn
-                     FROM b) WHERE rn <= 64),
+                     FROM b)),
         pr AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
                       list_cosine_similarity(x.v, y.v) AS c
                FROM capped x JOIN capped y
-                 ON x.bucket = y.bucket AND x.doc_id < y.doc_id)
+                 ON x.bucket = y.bucket AND x.salt = y.salt
+                    AND x.doc_id < y.doc_id)
         SELECT id_a, id_b, round(c, 6) AS cosine
         FROM pr WHERE c >= 0.2 ORDER BY id_a, id_b"""
 

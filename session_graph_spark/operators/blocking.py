@@ -17,7 +17,7 @@ skew is handled where occurrences join back to clusters (AQE skew join +
 optional salting, see `with_salt`).
 
 Runaway blocks (a band bucket collecting > max_block_size labels) are
-capped with a logged truncation rather than generating O(n^2) pairs.
+salted into bounded sub-buckets rather than generating O(n^2) pairs.
 """
 
 from __future__ import annotations
@@ -41,7 +41,7 @@ _MERSENNE = (1 << 61) - 1
 _A = np.array([(2 * i + 1) * 0x9E3779B97F4A7C15 % _MERSENNE for i in range(1, N_HASHES + 1)], dtype=np.uint64)
 _B = np.array([(i * 0xC2B2AE3D27D4EB4F + 17) % _MERSENNE for i in range(1, N_HASHES + 1)], dtype=np.uint64)
 
-MAX_BLOCK_SIZE = 64  # distinct labels per LSH bucket before truncation
+MAX_BLOCK_SIZE = 64  # distinct labels per LSH sub-bucket (salting bound)
 
 
 def _trigram_hashes(label: str) -> np.ndarray:
@@ -101,18 +101,27 @@ def candidate_pairs(
     """Distinct (label, block_key) rows -> candidate (label_a, label_b) pairs.
 
     Union of exact-key pairs and LSH-bucket pairs, deduplicated. Buckets
-    larger than max_block_size are truncated (kept labels = lexicographic
-    first N, deterministic) — the truncation count is observable via
-    `block_metrics`.
+    larger than max_block_size are salted into deterministic sub-buckets
+    (lexicographic rank order) so pair counts stay bounded with partial
+    recall instead of over-cap labels losing every candidate; bucket
+    sizes are observable via `block_metrics`.
     """
     keyed = labels.select(label_col, block_col).distinct()
     exact = _pairs_within(keyed, block_col, label_col)
 
     buckets = lsh_buckets(labels, label_col)
+    # over-cap buckets are salted into sub-buckets of <= max_block_size
+    # (rank by label, deterministic) rather than truncated: pair count per
+    # join key stays bounded while labels past the cap keep their
+    # intra-sub-bucket candidates (graceful recall degradation)
     w = Window.partitionBy("band_key").orderBy("label")
     capped = (
         buckets.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= max_block_size)
+        .withColumn(
+            "band_key",
+            F.concat("band_key", F.lit("#"),
+                     ((F.col("rn") - 1) / F.lit(max_block_size)).cast("int")),
+        )
         .drop("rn")
     )
     # cheap JVM-side prefilter before the expensive scoring UDF: true typo

@@ -33,18 +33,25 @@ from session_graph_spark.operators.cc import connected_components
 # Per-bucket cap before the banded self-joins (same treatment as the
 # mention-ER blocker, blocking.py MAX_BLOCK_SIZE): a corpus with millions
 # of near-empty or boilerplate documents otherwise lands them all in one
-# band bucket -> O(n^2) pairs in a single skewed join key. Deterministic
-# truncation (lowest doc_ids kept); identical docs are already collapsed
-# by exact_dedup upstream in any real pipeline.
+# band bucket -> O(n^2) pairs in a single skewed join key. Over-cap
+# buckets are salted into deterministic sub-buckets (see _cap_buckets),
+# bounding pairs per join key while keeping partial recall; identical
+# docs are already collapsed by exact_dedup upstream in any real pipeline.
 MAX_BUCKET_DOCS = 64
 
 
 def _cap_buckets(banded: DataFrame, bucket_cols: list[str],
                  max_docs: int = MAX_BUCKET_DOCS) -> DataFrame:
+    """Adds a `__salt` sub-bucket column: over-cap buckets are SPLIT into
+    deterministic sub-buckets of <= max_docs (rank by doc_id), not
+    truncated. Joins that include `__salt` in the key stay bounded at
+    C(max_docs, 2) pairs per join key, while docs past the cap keep
+    their intra-sub-bucket pairs — recall degrades gracefully instead of
+    docs 65+ silently losing every candidate."""
     w = Window.partitionBy(*bucket_cols).orderBy("doc_id")
     return (
         banded.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= max_docs)
+        .withColumn("__salt", ((F.col("__rn") - 1) / F.lit(max_docs)).cast("int"))
         .drop("__rn")
     )
 
@@ -122,6 +129,7 @@ def minhash_lsh_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "do
         banded.alias("x").join(banded.alias("y"),
                                (F.col("x.band_idx") == F.col("y.band_idx"))
                                & (F.col("x.band_key") == F.col("y.band_key"))
+                               & (F.col("x.__salt") == F.col("y.__salt"))
                                & (F.col("x.doc_id") < F.col("y.doc_id")))
         .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
         .distinct()
@@ -178,13 +186,16 @@ def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text",
             )
         ).alias("band_idx", "band_key"),
     )
+    cond = (
+        (F.col("x.band_idx") == F.col("y.band_idx"))
+        & (F.col("x.band_key") == F.col("y.band_key"))
+        & (F.col("x.doc_id") < F.col("y.doc_id"))
+    )
     if max_bucket_docs is not None:
         banded = _cap_buckets(banded, ["band_idx", "band_key"], max_bucket_docs)
+        cond = cond & (F.col("x.__salt") == F.col("y.__salt"))
     return (
-        banded.alias("x").join(banded.alias("y"),
-                               (F.col("x.band_idx") == F.col("y.band_idx"))
-                               & (F.col("x.band_key") == F.col("y.band_key"))
-                               & (F.col("x.doc_id") < F.col("y.doc_id")))
+        banded.alias("x").join(banded.alias("y"), cond)
         .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
         .distinct()
     )
@@ -312,6 +323,7 @@ def simhash_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
         banded.alias("x").join(banded.alias("y"),
                                (F.col("x.band_idx") == F.col("y.band_idx"))
                                & (F.col("x.band_val") == F.col("y.band_val"))
+                               & (F.col("x.__salt") == F.col("y.__salt"))
                                & (F.col("x.doc_id") < F.col("y.doc_id")))
         .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"),
                 F.col("x.simhash").alias("sh_a"), F.col("y.simhash").alias("sh_b"))
@@ -363,6 +375,7 @@ def embedding_dedup(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embe
     pairs = (
         e.alias("x").join(e.alias("y"),
                           (F.col("x.bucket") == F.col("y.bucket"))
+                          & (F.col("x.__salt") == F.col("y.__salt"))
                           & (F.col("x.doc_id") < F.col("y.doc_id")))
         .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"),
                 F.col("x.v").alias("va"), F.col("y.v").alias("vb"))

@@ -183,16 +183,24 @@ def test_exact_variants_keep_full_recall_over_cap(spark):
     )
     pairs = minhash_dedup_pairs(docs, threshold=0.8)
     assert pairs.count() == n * (n - 1) // 2  # full recall past the cap
-    # opting into the cap bounds the join again (caller owns the tradeoff)
+    # opting into the cap salts into sub-buckets: bounded join, and every
+    # doc (incl. 65+) keeps its intra-sub-bucket pairs
     capped = minhash_dedup_pairs(docs, threshold=0.8,
                                  max_bucket_docs=MAX_BUCKET_DOCS)
-    assert capped.count() == MAX_BUCKET_DOCS * (MAX_BUCKET_DOCS - 1) // 2
+    assert capped.count() == _salted_pairs(n, MAX_BUCKET_DOCS)
+
+
+def _salted_pairs(n: int, cap: int) -> int:
+    """Pairs surviving salted sub-bucketing of n identical docs."""
+    full, rem = divmod(n, cap)
+    return full * cap * (cap - 1) // 2 + rem * (rem - 1) // 2
 
 
 def test_dedup_bucket_caps(spark):
     """Scale guard: thousands of identical/boilerplate docs land in one
-    band bucket; the per-bucket cap must bound the pair explosion (the
-    uncapped form is O(n^2) in a single skewed join key)."""
+    band bucket; salted sub-bucketing must bound pairs per join key at
+    C(cap, 2) (the unsalted form is O(n^2) in a single skewed join key)
+    while docs past the cap keep their intra-sub-bucket pairs."""
     from session_graph_spark.operators.dedup import (MAX_BUCKET_DOCS,
                                                      embedding_dedup,
                                                      minhash_lsh_dedup,
@@ -203,23 +211,28 @@ def test_dedup_bucket_caps(spark):
         F.col("id").alias("doc_id"),
         F.lit("the same boilerplate text repeated for every row").alias("text"),
     )
-    cap_pairs = MAX_BUCKET_DOCS * (MAX_BUCKET_DOCS - 1) // 2
+    exp = _salted_pairs(n, MAX_BUCKET_DOCS)
 
-    # simhash: 4 bands, all docs identical -> one bucket per band, capped
-    sh_pairs = simhash_dedup(docs).count()
-    assert 0 < sh_pairs <= cap_pairs  # distinct dedup collapses the 4 bands
+    # simhash: 4 bands, all docs identical -> one salted bucket per band;
+    # distinct dedup collapses the 4 bands to one sub-bucketed pair set
+    sh = simhash_dedup(docs)
+    assert sh.count() == exp
+    # graceful degradation: the LAST doc still has candidates
+    assert sh.where((F.col("id_a") == n - 2) & (F.col("id_b") == n - 1)).count() == 1
 
-    # minhash LSH: completes with a bounded assignment (would OOM/expode
-    # at 32 bands x C(2000,2) uncapped)
+    # minhash LSH: completes with a bounded assignment (would OOM/explode
+    # at 32 bands x C(2000,2) unsalted); identical docs all land in SOME
+    # dup group (not singletons), even past the cap
     groups = minhash_lsh_dedup(docs, threshold=0.8)
     assert groups.count() == n
+    assert groups.where(F.col("doc_id") != F.col("dup_group")).count() >= n - 32
 
     emb = spark.range(n).select(
         F.col("id").alias("vec_id"),
         F.array(*[F.lit(float(i + 1)) for i in range(8)]).alias("embedding"),
     )
     e_pairs = embedding_dedup(emb, threshold=0.9, n_planes=8).count()
-    assert 0 < e_pairs <= cap_pairs
+    assert e_pairs == exp
 
 
 def test_min_output_filter(spark):
