@@ -581,6 +581,42 @@ def q_embedding_neardup(spark, sf):
     return embedding_dedup(e, threshold=0.2, n_planes=4).orderBy("id_a", "id_b")
 
 
+def q_er_incremental(spark, sf):
+    """Incremental-processing surface as a driver query (SURVEY §2.9
+    ST1/ST3/P12): run IncrementalRunner twice over the same
+    documents-derived turns — the first batch processes everything, the
+    second must watermark-skip (exactly-once effect: an idempotent no-op
+    that leaves the merged clusters table untouched) — then return the
+    final state table. The oracle recomputes the same assignment one-shot
+    in SQL (min_sessions=1, the incremental contract), so parity proves
+    both the pipeline math AND that the re-run neither duplicated nor
+    clobbered state."""
+    import shutil
+    import tempfile
+
+    from session_graph_spark.sources.testdata import documents_as_turns
+    from session_graph_spark.streaming.incremental import IncrementalRunner
+
+    state = tempfile.mkdtemp(prefix="er_inc_state_")
+    try:
+        turns = documents_as_turns(spark, sf)
+        runner = IncrementalRunner(spark, state)
+        runner.run(turns)
+        second = runner.run(turns)  # watermark skip: must be empty
+        n_second = second.count()
+        final = (
+            spark.read.parquet(str(runner.state_dir / "clusters"))
+            # fold the skip evidence into the oracled output: any row
+            # from a non-empty second batch would break the row count
+            .withColumn("second_batch_rows", F.lit(n_second))
+            .orderBy("conv_id", "canon_label", "cluster_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+    return final
+
+
 def q_media_features(spark, sf):
     """Multimodal plumbing exercised on driver data: documents become a
     media-asset table (deterministic UTF-8 bytes as the opaque binary
@@ -761,9 +797,9 @@ def _kb_enrichment_oracle() -> str:
         ORDER BY b.label"""
 
 
-def _er_labels_cte() -> str:
+def _er_labels_cte(min_sessions: int = 2) -> str:
     """normalized_labels stage over the documents-derived turns: alias
-    broadcast join -> distinct (conv, canon) -> min-sessions >= 2 -> slug
+    broadcast join -> distinct (conv, canon) -> min-sessions filter -> slug
     block key. Valid on this corpus for the same reason as _mentions_cte
     (plain lowercase alpha tokens: the L2 pandas filter rejects nothing)."""
     from session_graph_spark.data import ALIAS_MAP
@@ -785,7 +821,7 @@ def _er_labels_cte() -> str:
                                 '[^a-z0-9]+', '-', 'g'),
                                 '(^-+|-+$)', '', 'g') AS block_key
           FROM (SELECT DISTINCT conv_id, canon_label FROM canon_mentions)
-          GROUP BY canon_label HAVING count(*) >= 2
+          GROUP BY canon_label HAVING count(*) >= {min_sessions}
         )"""
 
 
@@ -1070,6 +1106,25 @@ def _embedding_neardup_oracle() -> str:
                     AND x.doc_id < y.doc_id)
         SELECT id_a, id_b, round(c, 6) AS cosine
         FROM pr WHERE c >= 0.2 ORDER BY id_a, id_b"""
+
+
+def _er_incremental_oracle() -> str:
+    """One-shot SQL recomputation of the incremental end state: mention-
+    level canon labels (multiplicity preserved — the clusters table stores
+    one row per mention occurrence) joined to the score+CC assignment over
+    ALL labels (min_sessions=1, IncrementalRunner's contract: frequency
+    pruning is corpus-wide, not batch-local). second_batch_rows = 0 pins
+    the watermark-skip behavior."""
+    return f"""
+        WITH RECURSIVE {_mentions_cte()},
+        {_er_labels_cte(min_sessions=1)},
+        {_score_cc_cte("er_labels")}
+        SELECT cm.conv_id, cm.canon_label,
+               coalesce(grp.cluster_id, cm.canon_label) AS cluster_id,
+               0 AS second_batch_rows
+        FROM canon_mentions cm
+        LEFT JOIN grp ON cm.canon_label = grp.label
+        ORDER BY conv_id, canon_label, cluster_id"""
 
 
 def _media_features_oracle() -> str:
@@ -1371,6 +1426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup": q_simhash_dedup,
         "embedding_neardup": q_embedding_neardup,
         "media_features": q_media_features,
+        "er_incremental": q_er_incremental,
         "er_clusters": q_er_clusters,
         "er_mentions": q_er_mentions,
         "triple_hubs": q_triple_hubs,
@@ -1549,6 +1605,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dedup": _simhash_dedup_oracle(),
         "embedding_neardup": _embedding_neardup_oracle(),
         "media_features": _media_features_oracle(),
+        "er_incremental": _er_incremental_oracle(),
         "minhash_dedup_pairs": """
             WITH d AS (SELECT doc_id,
                          list_distinct(
