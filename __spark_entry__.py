@@ -617,6 +617,257 @@ def q_er_incremental(spark, sf):
     return final
 
 
+def q_claude_jsonl_scan(spark, sf):
+    """The S1 ingestion path driven through the oracle gate: a
+    deterministic Claude-Code-style JSONL fixture is synthesized from the
+    documents table (one message per doc row: content blocks, tool_use
+    blocks on every 5th doc, assistant model provenance, monotone
+    timestamps), ingested with the REAL reader
+    (sources/readers.py:read_claude_code_jsonl — content-block
+    projection, tool extraction, ts parse, per-conversation turn
+    ordering), and the resulting turns are oracled against SQL that
+    recomputes the same projection straight from documents.
+    source_file is excluded (it carries the tmp fixture path)."""
+    import hashlib as _hl
+    import json
+    import os
+
+    from session_graph_spark.sources.readers import read_claude_code_jsonl
+
+    fx_dir = "/tmp/spark_graft_fixtures"
+    os.makedirs(fx_dir, exist_ok=True)
+    path = os.path.join(
+        fx_dir, f"claude_{_hl.md5(sf.encode()).hexdigest()[:10]}.jsonl"
+    )
+    rows = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", "source", "text", "lang")
+        .orderBy("doc_id")
+        .collect()
+    )
+    rank: dict[str, int] = {}
+    with open(path, "w") as f:
+        for r in rows:
+            i = rank.get(r["source"], 0)
+            rank[r["source"]] = i + 1
+            role = "user" if i % 2 == 0 else "assistant"
+            blocks = [{"type": "text", "text": r["text"]}]
+            if r["doc_id"] % 5 == 0:
+                blocks.append({"type": "tool_use",
+                               "name": f"tool-{r['doc_id'] % 3}",
+                               "id": f"tu{r['doc_id']}"})
+            base = __import__("datetime").datetime(2024, 1, 1)
+            ts = base + __import__("datetime").timedelta(seconds=int(r["doc_id"]))
+            msg = {"content": blocks}
+            if role == "assistant":
+                msg["model"] = f"m-{r['lang']}"
+            f.write(json.dumps({
+                "type": role,
+                "uuid": f"u{int(r['doc_id']):08d}",
+                "parentUuid": None,
+                "timestamp": ts.strftime("%Y-%m-%d %H:%M:%S"),
+                "sessionId": r["source"],
+                "message": msg,
+            }) + "\n")
+    return (
+        read_claude_code_jsonl(spark, path)
+        .drop("source_file")
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
+def q_warp_sqlite_scan(spark, sf):
+    """The S4 ingestion path driven through the oracle gate: a SQLite
+    ai_queries database is synthesized from documents (one exchange per
+    doc row, Warp's input-JSON Query shape, monotone start_ts), ingested
+    with the REAL chunked reader (readers.py:read_warp_sqlite -> warp_turns:
+    JSON Query-text projection, substantive-exchange conversation filter,
+    turn ordering). chunk_rows=200 forces the multi-chunk path. Oracle =
+    SQL recomputation from documents (conversations keep all exchanges
+    when >= 5 of them have > 30 chars of query text)."""
+    import hashlib as _hl
+    import os
+    import sqlite3
+
+    from session_graph_spark.sources.readers import read_warp_sqlite
+
+    fx_dir = "/tmp/spark_graft_fixtures"
+    os.makedirs(fx_dir, exist_ok=True)
+    path = os.path.join(
+        fx_dir, f"warp_{_hl.md5(sf.encode()).hexdigest()[:10]}.sqlite"
+    )
+    if os.path.exists(path):
+        os.remove(path)
+    rows = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", "source", "text")
+        .orderBy("doc_id")
+        .collect()
+    )
+    conn = sqlite3.connect(path)
+    try:
+        conn.execute(
+            "CREATE TABLE ai_queries (exchange_id TEXT, conversation_id TEXT,"
+            " start_ts TEXT, input TEXT, working_directory TEXT,"
+            " output_status TEXT, model_id TEXT)"
+        )
+        import datetime as _dt
+        import json
+        base = _dt.datetime(2024, 1, 1)
+        conn.executemany(
+            "INSERT INTO ai_queries VALUES (?, ?, ?, ?, ?, ?, ?)",
+            [(
+                f"e{int(r['doc_id'])}",
+                r["source"],
+                (base + _dt.timedelta(seconds=int(r["doc_id"])))
+                .strftime("%Y-%m-%d %H:%M:%S"),
+                json.dumps([{"Query": {"text": r["text"]}}]),
+                "/workdir",
+                "done",
+                "warp-model-1",
+            ) for r in rows],
+        )
+        conn.commit()
+    finally:
+        conn.close()
+    return read_warp_sqlite(spark, path, chunk_rows=200).orderBy(
+        "conv_id", "turn_idx"
+    )
+
+
+def q_deepseek_zip_scan(spark, sf):
+    """The S2+S5 ingestion path driven through the oracle gate: a
+    DeepSeek-style export (.zip of pretty-printed conversations.json) is
+    synthesized from documents as a genuinely FORKED tree — each
+    conversation's root has two children (trunk = first half of its
+    docs, branch = second half) and timestamps run BACKWARDS, so only a
+    true preorder DFS (readers.py:_walk_deepseek_mapping) reproduces doc
+    order; a timestamp sort would reverse it. Fragment-join semantics are
+    exercised too (assistant nodes carry RESPONSE + THINK fragments).
+    Oracle = SQL recomputation from documents. source_file is excluded
+    (tmp path)."""
+    import datetime as _dt
+    import hashlib as _hl
+    import json
+    import os
+    import zipfile
+
+    from session_graph_spark.sources.readers import read_deepseek_json
+
+    fx_dir = "/tmp/spark_graft_fixtures"
+    os.makedirs(fx_dir, exist_ok=True)
+    path = os.path.join(
+        fx_dir, f"deepseek_{_hl.md5(sf.encode()).hexdigest()[:10]}.zip"
+    )
+    rows = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", "source", "text")
+        .orderBy("doc_id")
+        .collect()
+    )
+    by_conv: dict[str, list] = {}
+    for r in rows:
+        by_conv.setdefault(r["source"], []).append(r)
+    base = _dt.datetime(2024, 1, 1)
+    convs = []
+    for source, docs in sorted(by_conv.items()):
+        m = len(docs)
+        k = (m + 1) // 2  # trunk length; branch forks off the root
+        mn, mx = int(docs[0]["doc_id"]), int(docs[-1]["doc_id"])
+        key = lambda j: "root" if j == 0 else f"n{int(docs[j]['doc_id'])}"
+        mapping = {}
+        for j, d in enumerate(docs):
+            children = []
+            if j == 0:
+                if k > 1:
+                    children.append(key(1))
+                if m > k:
+                    children.append(key(k))
+            elif j < k - 1 or (k <= j < m - 1):
+                children.append(key(j + 1))
+            ts = base + _dt.timedelta(seconds=mx - (int(d["doc_id"]) - mn))
+            if j % 2 == 0:
+                frags = [{"type": "REQUEST", "content": d["text"]}]
+            else:
+                frags = [
+                    {"type": "RESPONSE", "content": d["text"]},
+                    {"type": "THINK", "content": f"think-{int(d['doc_id'])}"},
+                ]
+            mapping[key(j)] = {
+                "parent": None if j == 0 else "unused",
+                "message": {"fragments": frags,
+                            "inserted_at": ts.strftime("%Y-%m-%d %H:%M:%S")},
+                "children": children,
+            }
+        convs.append({"id": source, "mapping": mapping})
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("conversations.json", json.dumps(convs, indent=1))
+    return (
+        read_deepseek_json(spark, path)
+        .drop("source_file")
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
+def q_grok_json_scan(spark, sf):
+    """The S3 ingestion path driven through the oracle gate: a Grok
+    Mongo-export fixture (conversations -> responses with $oid/$date/
+    $numberLong wrappers) synthesized from documents, ingested with the
+    REAL reader (readers.py:read_grok_json — whole-file read, JVM
+    from_json, human->user mapping, epoch-millis timestamps). All
+    responses in a conversation share one timestamp, so turn order is
+    decided by the array-position tie-break (resp_ord) — a reader that
+    dropped it would fail the hash. Oracle = SQL from documents;
+    source_file excluded (tmp path)."""
+    import hashlib as _hl
+    import json
+    import os
+
+    from session_graph_spark.sources.readers import read_grok_json
+
+    fx_dir = "/tmp/spark_graft_fixtures"
+    os.makedirs(fx_dir, exist_ok=True)
+    path = os.path.join(
+        fx_dir, f"grok_{_hl.md5(sf.encode()).hexdigest()[:10]}.json"
+    )
+    rows = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", "source", "text")
+        .orderBy("doc_id")
+        .collect()
+    )
+    by_conv: dict[str, list] = {}
+    for r in rows:
+        by_conv.setdefault(r["source"], []).append(r)
+    convs = []
+    for source, docs in sorted(by_conv.items()):
+        mn = int(docs[0]["doc_id"])
+        ms = 1700000000000 + mn * 1000  # one shared ts per conversation
+        convs.append({
+            "conversation": {"_id": {"$oid": source}},
+            "responses": [{
+                "response": {
+                    "sender": "human" if j % 2 == 0 else "grok",
+                    "message": d["text"],
+                    "create_time": {"$date": {"$numberLong": str(ms)}},
+                }
+            } for j, d in enumerate(docs)],
+        })
+    with open(path, "w") as f:
+        json.dump({"conversations": convs}, f, indent=1)
+    # member_suffix match requires the canonical export filename; rename
+    final = os.path.join(os.path.dirname(path),
+                         f"grok_{_hl.md5(sf.encode()).hexdigest()[:10]}",
+                         "prod-grok-backend.json")
+    os.makedirs(os.path.dirname(final), exist_ok=True)
+    os.replace(path, final)
+    return (
+        read_grok_json(spark, final)
+        .drop("source_file")
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
 def q_media_features(spark, sf):
     """Multimodal plumbing exercised on driver data: documents become a
     media-asset table (deterministic UTF-8 bytes as the opaque binary
@@ -1127,6 +1378,88 @@ def _er_incremental_oracle() -> str:
         ORDER BY conv_id, canon_label, cluster_id"""
 
 
+def _claude_jsonl_scan_oracle() -> str:
+    """Recompute the reader's projection straight from documents: the
+    fixture construction (q_claude_jsonl_scan) and this SQL share only
+    the documents table and the deterministic derivation rules."""
+    return """
+        WITH d AS (SELECT doc_id, source, text, lang,
+                          row_number() OVER (PARTITION BY source
+                                             ORDER BY doc_id) - 1 AS r
+                   FROM documents)
+        SELECT source AS conv_id,
+               r::INT AS turn_idx,
+               CASE WHEN r % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+               text,
+               CASE WHEN doc_id % 5 = 0 THEN 'tool-' || (doc_id % 3)
+                    ELSE NULL END AS tool,
+               TIMESTAMP '2024-01-01 00:00:00'
+                 + to_seconds(doc_id::BIGINT) AS ts,
+               'claude-code' AS platform,
+               CASE WHEN r % 2 = 1 THEN 'm-' || lang ELSE NULL END AS model
+        FROM d ORDER BY conv_id, turn_idx"""
+
+
+def _deepseek_zip_scan_oracle() -> str:
+    """The forked-tree fixture's DFS preorder equals per-conversation
+    doc order (trunk then branch, both ascending doc_id), so the oracle
+    is a plain rank — while the fixture's timestamps are REVERSED, so
+    any ts-ordered reader would fail this hash."""
+    return """
+        WITH d AS (SELECT doc_id, source, text,
+                          row_number() OVER (PARTITION BY source
+                                             ORDER BY doc_id) - 1 AS r,
+                          min(doc_id) OVER (PARTITION BY source) AS mn,
+                          max(doc_id) OVER (PARTITION BY source) AS mx
+                   FROM documents)
+        SELECT source AS conv_id, r::INT AS turn_idx,
+               CASE WHEN r % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+               CASE WHEN r % 2 = 0 THEN text
+                    ELSE text || chr(10) || 'think-' || doc_id END AS text,
+               NULL::VARCHAR AS tool,
+               TIMESTAMP '2024-01-01 00:00:00'
+                 + to_seconds((mx - (doc_id - mn))::BIGINT) AS ts,
+               'deepseek' AS platform, NULL::VARCHAR AS model
+        FROM d ORDER BY conv_id, turn_idx"""
+
+
+def _grok_json_scan_oracle() -> str:
+    return """
+        WITH d AS (SELECT doc_id, source, text,
+                          row_number() OVER (PARTITION BY source
+                                             ORDER BY doc_id) - 1 AS r,
+                          min(doc_id) OVER (PARTITION BY source) AS mn
+                   FROM documents)
+        SELECT source AS conv_id, r::INT AS turn_idx,
+               CASE WHEN r % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+               text, NULL::VARCHAR AS tool,
+               epoch_ms(1700000000000 + mn * 1000) AS ts,
+               'grok' AS platform, NULL::VARCHAR AS model
+        FROM d ORDER BY conv_id, turn_idx"""
+
+
+def _warp_sqlite_scan_oracle() -> str:
+    """warp_turns mirror from documents: only user turns exist (Warp
+    stores no assistant text), a conversation survives when >= 5 of its
+    exchanges carry > 30 chars of query text, and surviving conversations
+    keep ALL their exchanges."""
+    return """
+        WITH keep AS (SELECT source FROM documents
+                      WHERE length(text) > 30
+                      GROUP BY source HAVING count(*) >= 5),
+        t AS (SELECT d.doc_id, d.source, d.text,
+                     row_number() OVER (PARTITION BY d.source
+                                        ORDER BY d.doc_id) - 1 AS r
+              FROM documents d JOIN keep USING (source))
+        SELECT source AS conv_id, r::INT AS turn_idx, 'user' AS role, text,
+               NULL::VARCHAR AS tool,
+               TIMESTAMP '2024-01-01 00:00:00'
+                 + to_seconds(doc_id::BIGINT) AS ts,
+               'warp' AS platform, 'warp.sqlite' AS source_file,
+               NULL::VARCHAR AS model
+        FROM t ORDER BY conv_id, turn_idx"""
+
+
 def _media_features_oracle() -> str:
     """Plumbing mirror: DuckDB sha256(VARCHAR) hashes the UTF-8 bytes —
     the same bytes Spark's encode(text,'UTF-8') feeds the pandas path."""
@@ -1427,6 +1760,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "media_features": q_media_features,
         "er_incremental": q_er_incremental,
+        "claude_jsonl_scan": q_claude_jsonl_scan,
+        "warp_sqlite_scan": q_warp_sqlite_scan,
+        "deepseek_zip_scan": q_deepseek_zip_scan,
+        "grok_json_scan": q_grok_json_scan,
         "er_clusters": q_er_clusters,
         "er_mentions": q_er_mentions,
         "triple_hubs": q_triple_hubs,
@@ -1606,6 +1943,10 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": _embedding_neardup_oracle(),
         "media_features": _media_features_oracle(),
         "er_incremental": _er_incremental_oracle(),
+        "claude_jsonl_scan": _claude_jsonl_scan_oracle(),
+        "warp_sqlite_scan": _warp_sqlite_scan_oracle(),
+        "deepseek_zip_scan": _deepseek_zip_scan_oracle(),
+        "grok_json_scan": _grok_json_scan_oracle(),
         "minhash_dedup_pairs": """
             WITH d AS (SELECT doc_id,
                          list_distinct(
