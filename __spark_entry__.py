@@ -868,6 +868,51 @@ def q_grok_json_scan(spark, sf):
     )
 
 
+def q_turtle_roundtrip(spark, sf):
+    """The S7 Turtle sink driven through the oracle gate: reified triples
+    from the documents token-triple table are serialized with the REAL
+    sink (sinks.py:write_turtle — JVM column formatter, prefix header,
+    direct + reified statement per triple), the .ttl directory is read
+    back as text, and the parsed statements are aggregated per predicate.
+    Parity with the SQL recomputation proves each triple produced exactly
+    one direct and one reified statement with the right slugs."""
+    import hashlib as _hl
+    import os
+    import shutil
+
+    from session_graph_spark.sources.sinks import write_turtle
+
+    t = _doc_triples(spark, sf)
+    reified = t.select(
+        F.md5(F.concat_ws("|", "doc_id", "subject", "predicate", "object"))
+        .alias("triple_id"),
+        "subject", "predicate", "object",
+        F.col("doc_id").cast("string").alias("conv_id"),
+    )
+    path = os.path.join(
+        "/tmp/spark_graft_fixtures",
+        f"ttl_{_hl.md5(sf.encode()).hexdigest()[:10]}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_turtle(reified, path)
+    lines = spark.read.text(path)
+    direct_re = r"^data:entity/([^ ]+) devkg:([^ ]+) data:entity/([^ ]+) \.$"
+    direct = lines.where(F.col("value").rlike(direct_re)).select(
+        F.regexp_extract("value", direct_re, 2).alias("predicate"),
+        F.regexp_extract("value", direct_re, 1).alias("subject_slug"),
+    )
+    reif = lines.where(F.col("value").startswith("data:triple/")).select(
+        F.regexp_extract("value", r"rdf:predicate devkg:([^ ]+) ;", 1)
+        .alias("predicate"),
+    )
+    agg_d = direct.groupBy("predicate").agg(
+        F.count("*").alias("n_direct"),
+        F.countDistinct("subject_slug").alias("n_subjects"),
+    )
+    agg_r = reif.groupBy("predicate").agg(F.count("*").alias("n_reified"))
+    return agg_d.join(agg_r, "predicate").orderBy("predicate")
+
+
 def q_media_features(spark, sf):
     """Multimodal plumbing exercised on driver data: documents become a
     media-asset table (deterministic UTF-8 bytes as the opaque binary
@@ -1423,6 +1468,23 @@ def _deepseek_zip_scan_oracle() -> str:
         FROM d ORDER BY conv_id, turn_idx"""
 
 
+def _turtle_roundtrip_oracle() -> str:
+    """Each reified triple serializes to exactly one direct and one
+    reified Turtle statement; subject slugs mirror normalize.slug."""
+    return f"""
+        WITH t AS (SELECT * FROM {_TRIPLES_SQL}),
+        s AS (SELECT predicate,
+                     regexp_replace(regexp_replace(lower(subject),
+                                    '[^a-z0-9]+', '-', 'g'),
+                                    '(^-+|-+$)', '', 'g') AS subject_slug
+              FROM t)
+        SELECT predicate,
+               count(*)::BIGINT AS n_direct,
+               count(DISTINCT subject_slug)::BIGINT AS n_subjects,
+               count(*)::BIGINT AS n_reified
+        FROM s GROUP BY predicate ORDER BY predicate"""
+
+
 def _grok_json_scan_oracle() -> str:
     return """
         WITH d AS (SELECT doc_id, source, text,
@@ -1764,6 +1826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warp_sqlite_scan": q_warp_sqlite_scan,
         "deepseek_zip_scan": q_deepseek_zip_scan,
         "grok_json_scan": q_grok_json_scan,
+        "turtle_roundtrip": q_turtle_roundtrip,
         "er_clusters": q_er_clusters,
         "er_mentions": q_er_mentions,
         "triple_hubs": q_triple_hubs,
@@ -1947,6 +2010,7 @@ def oracle_sql() -> dict[str, str]:
         "warp_sqlite_scan": _warp_sqlite_scan_oracle(),
         "deepseek_zip_scan": _deepseek_zip_scan_oracle(),
         "grok_json_scan": _grok_json_scan_oracle(),
+        "turtle_roundtrip": _turtle_roundtrip_oracle(),
         "minhash_dedup_pairs": """
             WITH d AS (SELECT doc_id,
                          list_distinct(
