@@ -913,6 +913,110 @@ def q_turtle_roundtrip(spark, sf):
     return agg_d.join(agg_r, "predicate").orderBy("predicate")
 
 
+def q_tool_events_scan(spark, sf):
+    """The J3 ToolCall -> ToolResult provenance join driven through the
+    oracle gate (readers.py:claude_tool_events — VariantType accessors
+    over the union-typed tool_result content). The fixture exercises all
+    three result shapes: list-of-text-blocks (joined with spaces), plain
+    string, and missing result (left join -> nulls, every 7th call)."""
+    import datetime as _dt
+    import hashlib as _hl
+    import json
+    import os
+
+    from session_graph_spark.sources.readers import claude_tool_events
+
+    fx_dir = "/tmp/spark_graft_fixtures"
+    os.makedirs(fx_dir, exist_ok=True)
+    path = os.path.join(
+        fx_dir, f"tools_{_hl.md5(sf.encode()).hexdigest()[:10]}.jsonl"
+    )
+    rows = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", "source", "text")
+        .orderBy("doc_id")
+        .collect()
+    )
+    base = _dt.datetime(2024, 1, 1)
+    with open(path, "w") as f:
+        for r in rows:
+            i = int(r["doc_id"])
+            ts = (base + _dt.timedelta(seconds=i)).strftime("%Y-%m-%d %H:%M:%S")
+            f.write(json.dumps({
+                "type": "assistant", "sessionId": r["source"], "timestamp": ts,
+                "message": {"content": [{
+                    "type": "tool_use", "id": f"tu{i}",
+                    "name": f"tool-{i % 3}", "input": r["text"][:50],
+                }]},
+            }) + "\n")
+            if i % 7 == 0:
+                continue  # missing result -> left-join nulls
+            ts2 = (base + _dt.timedelta(seconds=i + 1)).strftime("%Y-%m-%d %H:%M:%S")
+            content = (
+                [{"type": "text", "text": f"ok-{i}"},
+                 {"type": "text", "text": "done"}]
+                if i % 2 == 0 else f"res-{i}"
+            )
+            f.write(json.dumps({
+                "type": "user", "sessionId": r["source"], "timestamp": ts2,
+                "message": {"content": [{
+                    "type": "tool_result", "tool_use_id": f"tu{i}",
+                    "content": content,
+                }]},
+            }) + "\n")
+    return (
+        claude_tool_events(spark, path)
+        .drop("source_file")
+        .orderBy("tool_use_id")
+    )
+
+
+def q_message_parents_scan(spark, sf):
+    """The J1 message -> parent self-join driven through the oracle gate
+    (readers.py:claude_message_parents): a per-conversation parentUuid
+    chain synthesized from documents (first message per source is a root
+    with null parent), ingested by the real reader, each message joined
+    to its parent's role and timestamp."""
+    import datetime as _dt
+    import hashlib as _hl
+    import json
+    import os
+
+    from session_graph_spark.sources.readers import claude_message_parents
+
+    fx_dir = "/tmp/spark_graft_fixtures"
+    os.makedirs(fx_dir, exist_ok=True)
+    path = os.path.join(
+        fx_dir, f"parents_{_hl.md5(sf.encode()).hexdigest()[:10]}.jsonl"
+    )
+    rows = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", "source", "text")
+        .orderBy("doc_id")
+        .collect()
+    )
+    base = _dt.datetime(2024, 1, 1)
+    prev: dict[str, int] = {}
+    with open(path, "w") as f:
+        for r in rows:
+            i = int(r["doc_id"])
+            parent = prev.get(r["source"])
+            f.write(json.dumps({
+                "type": "user" if i % 2 == 0 else "assistant",
+                "uuid": f"u{i:08d}",
+                "parentUuid": None if parent is None else f"u{parent:08d}",
+                "timestamp": (base + _dt.timedelta(seconds=i))
+                .strftime("%Y-%m-%d %H:%M:%S"),
+                "sessionId": r["source"],
+                "message": {"content": [{"type": "text", "text": r["text"]}]},
+            }) + "\n")
+            prev[r["source"]] = i
+    return (
+        claude_message_parents(spark, path)
+        .orderBy("uuid")
+    )
+
+
 def q_media_features(spark, sf):
     """Multimodal plumbing exercised on driver data: documents become a
     media-asset table (deterministic UTF-8 bytes as the opaque binary
@@ -1468,6 +1572,46 @@ def _deepseek_zip_scan_oracle() -> str:
         FROM d ORDER BY conv_id, turn_idx"""
 
 
+def _message_parents_scan_oracle() -> str:
+    return """
+        WITH d AS (SELECT doc_id, source,
+                          lag(doc_id) OVER (PARTITION BY source
+                                            ORDER BY doc_id) AS p
+                   FROM documents)
+        SELECT source AS conv_id,
+               'u' || lpad(doc_id::VARCHAR, 8, '0') AS uuid,
+               CASE WHEN p IS NULL THEN NULL
+                    ELSE 'u' || lpad(p::VARCHAR, 8, '0') END AS parent_uuid,
+               CASE WHEN doc_id % 2 = 0 THEN 'user'
+                    ELSE 'assistant' END AS role,
+               TIMESTAMP '2024-01-01 00:00:00'
+                 + to_seconds(doc_id::BIGINT) AS ts,
+               CASE WHEN p IS NULL THEN NULL
+                    WHEN p % 2 = 0 THEN 'user'
+                    ELSE 'assistant' END AS parent_role,
+               CASE WHEN p IS NULL THEN NULL
+                    ELSE TIMESTAMP '2024-01-01 00:00:00'
+                         + to_seconds(p::BIGINT) END AS parent_ts
+        FROM d ORDER BY uuid"""
+
+
+def _tool_events_scan_oracle() -> str:
+    return """
+        SELECT source AS conv_id,
+               'tu' || doc_id AS tool_use_id,
+               'tool-' || (doc_id % 3) AS tool_name,
+               substring(text, 1, 50) AS tool_input,
+               TIMESTAMP '2024-01-01 00:00:00'
+                 + to_seconds(doc_id::BIGINT) AS call_ts,
+               CASE WHEN doc_id % 7 = 0 THEN NULL
+                    WHEN doc_id % 2 = 0 THEN 'ok-' || doc_id || ' done'
+                    ELSE 'res-' || doc_id END AS result_text,
+               CASE WHEN doc_id % 7 = 0 THEN NULL
+                    ELSE TIMESTAMP '2024-01-01 00:00:00'
+                         + to_seconds((doc_id + 1)::BIGINT) END AS result_ts
+        FROM documents ORDER BY tool_use_id"""
+
+
 def _turtle_roundtrip_oracle() -> str:
     """Each reified triple serializes to exactly one direct and one
     reified Turtle statement; subject slugs mirror normalize.slug."""
@@ -1827,6 +1971,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deepseek_zip_scan": q_deepseek_zip_scan,
         "grok_json_scan": q_grok_json_scan,
         "turtle_roundtrip": q_turtle_roundtrip,
+        "tool_events_scan": q_tool_events_scan,
+        "message_parents_scan": q_message_parents_scan,
         "er_clusters": q_er_clusters,
         "er_mentions": q_er_mentions,
         "triple_hubs": q_triple_hubs,
@@ -2011,6 +2157,8 @@ def oracle_sql() -> dict[str, str]:
         "deepseek_zip_scan": _deepseek_zip_scan_oracle(),
         "grok_json_scan": _grok_json_scan_oracle(),
         "turtle_roundtrip": _turtle_roundtrip_oracle(),
+        "tool_events_scan": _tool_events_scan_oracle(),
+        "message_parents_scan": _message_parents_scan_oracle(),
         "minhash_dedup_pairs": """
             WITH d AS (SELECT doc_id,
                          list_distinct(
