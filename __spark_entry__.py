@@ -1017,6 +1017,62 @@ def q_message_parents_scan(spark, sf):
     )
 
 
+def q_pair_scores_cached(spark, sf):
+    """P13/J4 cache-hit split + the Arrow scoring kernel, oracled on
+    VALUES (er_clusters only oracles the >= 0.7 decisions): all pairs of
+    the er_labels stage are scored through operators/scoring.score_pairs
+    with a pre-seeded decisions cache — every pair whose combined label
+    length is divisible by 3 carries sentinel score 0.424242. Cached
+    pairs must short-circuit (sentinel survives verbatim), fresh pairs
+    must match the DuckDB kernel bit-for-bit before rounding."""
+    from session_graph_spark.operators.scoring import score_pairs
+    from session_graph_spark.plans.pipeline import alias_df, mentions_from_turns, \
+        normalized_labels, prepare_turns
+    from session_graph_spark.sources.testdata import documents_as_turns
+
+    m = mentions_from_turns(prepare_turns(documents_as_turns(spark, sf)))
+    lab = normalized_labels(m, alias_df(spark)).select("canon_label")
+    a = lab.select(F.col("canon_label").alias("label_a"))
+    b = lab.select(F.col("canon_label").alias("label_b"))
+    pairs = a.crossJoin(b).where(F.col("label_a") < F.col("label_b"))
+    cache = pairs.where(
+        (F.length("label_a") + F.length("label_b")) % 3 == 0
+    ).withColumn("score", F.lit(0.424242))
+    scored = score_pairs(pairs, decisions=cache)
+    return scored.select(
+        "label_a", "label_b",
+        (F.floor(F.col("score") * 1e6 + F.lit(0.5)) / 1e6).alias("score"),
+    ).orderBy("label_a", "label_b")
+
+
+def q_serving_table_sink(spark, sf):
+    """The S8 serving-table sink driven through the oracle gate: two
+    appends (documents split by doc_id parity) into a fresh serving
+    table via sinks.write_serving_table, whose delta-file verify returns
+    the per-append row count; the final table is re-read and counted.
+    Parity proves append isolation (each verify sees only its own batch)
+    and that nothing was lost or duplicated across appends."""
+    import hashlib as _hl
+    import os
+    import shutil
+
+    from session_graph_spark.sources.sinks import write_serving_table
+
+    path = os.path.join(
+        "/tmp/spark_graft_fixtures",
+        f"serving_{_hl.md5(sf.encode()).hexdigest()[:10]}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    docs = _docs(spark, sf)
+    n1 = write_serving_table(docs.where(F.col("doc_id") % 2 == 0), path)
+    n2 = write_serving_table(docs.where(F.col("doc_id") % 2 == 1), path)
+    final = spark.read.parquet(path).count()
+    return spark.createDataFrame(
+        [(int(n1), int(n2), int(final))],
+        "appended_even long, appended_odd long, final_rows long",
+    )
+
+
 def q_media_features(spark, sf):
     """Multimodal plumbing exercised on driver data: documents become a
     media-asset table (deterministic UTF-8 bytes as the opaque binary
@@ -1572,6 +1628,28 @@ def _deepseek_zip_scan_oracle() -> str:
         FROM d ORDER BY conv_id, turn_idx"""
 
 
+def _pair_scores_cached_oracle() -> str:
+    return f"""
+        WITH {_mentions_cte()},
+        {_er_labels_cte()},
+        lab AS (SELECT DISTINCT canon_label FROM er_labels),
+        p AS (SELECT a.canon_label AS label_a, b.canon_label AS label_b
+              FROM lab a JOIN lab b ON a.canon_label < b.canon_label),
+        g AS (SELECT label_a, label_b,
+                     {trigram_list_sql('label_a')} AS ta,
+                     {trigram_list_sql('label_b')} AS tb
+              FROM p),
+        s AS (SELECT label_a, label_b,
+                CASE WHEN (length(label_a) + length(label_b)) % 3 = 0
+                     THEN 0.424242
+                     ELSE {kernel_score_sql('label_a', 'label_b')}
+                END AS score
+              FROM g)
+        SELECT label_a, label_b,
+               floor(score * 1e6 + 0.5) / 1e6 AS score
+        FROM s ORDER BY label_a, label_b"""
+
+
 def _message_parents_scan_oracle() -> str:
     return """
         WITH d AS (SELECT doc_id, source,
@@ -1973,6 +2051,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turtle_roundtrip": q_turtle_roundtrip,
         "tool_events_scan": q_tool_events_scan,
         "message_parents_scan": q_message_parents_scan,
+        "pair_scores_cached": q_pair_scores_cached,
+        "serving_table_sink": q_serving_table_sink,
         "er_clusters": q_er_clusters,
         "er_mentions": q_er_mentions,
         "triple_hubs": q_triple_hubs,
@@ -2159,6 +2239,14 @@ def oracle_sql() -> dict[str, str]:
         "turtle_roundtrip": _turtle_roundtrip_oracle(),
         "tool_events_scan": _tool_events_scan_oracle(),
         "message_parents_scan": _message_parents_scan_oracle(),
+        "pair_scores_cached": _pair_scores_cached_oracle(),
+        "serving_table_sink": """
+            SELECT sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT
+                     AS appended_even,
+                   sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT
+                     AS appended_odd,
+                   count(*)::BIGINT AS final_rows
+            FROM documents""",
         "minhash_dedup_pairs": """
             WITH d AS (SELECT doc_id,
                          list_distinct(
