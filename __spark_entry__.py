@@ -1073,6 +1073,40 @@ def q_serving_table_sink(spark, sf):
     )
 
 
+def q_er_resume(spark, sf):
+    """The S9/J6 checkpoint-resume path driven through the oracle gate:
+    resolve() runs twice against the same StageStore directory; the
+    second run must reuse EVERY stage (manifest.json byte-identical — any
+    recompute rewrites it with a new wall_sec), and the resumed clusters
+    must equal the full-batch SQL recomputation. stages_reused=1 pins
+    the reuse; the cluster rows pin that resume returned the same
+    answer."""
+    import hashlib as _hl
+    import os
+    import shutil
+
+    from session_graph_spark.plans.pipeline import resolve
+    from session_graph_spark.sources.testdata import documents_as_turns
+
+    state = os.path.join(
+        "/tmp/spark_graft_fixtures",
+        f"ckpt_{_hl.md5(sf.encode()).hexdigest()[:10]}",
+    )
+    shutil.rmtree(state, ignore_errors=True)
+    turns = documents_as_turns(spark, sf)
+    resolve(spark, turns, checkpoint_dir=state).clusters.count()
+    with open(os.path.join(state, "manifest.json")) as f:
+        mf1 = f.read()
+    res2 = resolve(spark, turns, checkpoint_dir=state)
+    clusters = res2.clusters.localCheckpoint(eager=True)
+    with open(os.path.join(state, "manifest.json")) as f:
+        mf2 = f.read()
+    return (
+        clusters.withColumn("stages_reused", F.lit(1 if mf1 == mf2 else 0))
+        .orderBy("label")
+    )
+
+
 def q_media_features(spark, sf):
     """Multimodal plumbing exercised on driver data: documents become a
     media-asset table (deterministic UTF-8 bytes as the opaque binary
@@ -1628,6 +1662,20 @@ def _deepseek_zip_scan_oracle() -> str:
         FROM d ORDER BY conv_id, turn_idx"""
 
 
+def _er_resume_oracle() -> str:
+    """er_clusters recomputation + the pinned stages_reused=1 flag."""
+    return f"""
+        WITH RECURSIVE {_mentions_cte()},
+        {_er_labels_cte()},
+        {_score_cc_cte("er_labels")}
+        SELECT l.canon_label AS label,
+               coalesce(grp.cluster_id, l.canon_label) AS cluster_id,
+               1 AS stages_reused
+        FROM (SELECT DISTINCT canon_label FROM er_labels) l
+        LEFT JOIN grp ON l.canon_label = grp.label
+        ORDER BY label"""
+
+
 def _pair_scores_cached_oracle() -> str:
     return f"""
         WITH {_mentions_cte()},
@@ -2053,6 +2101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "message_parents_scan": q_message_parents_scan,
         "pair_scores_cached": q_pair_scores_cached,
         "serving_table_sink": q_serving_table_sink,
+        "er_resume": q_er_resume,
         "er_clusters": q_er_clusters,
         "er_mentions": q_er_mentions,
         "triple_hubs": q_triple_hubs,
@@ -2240,6 +2289,7 @@ def oracle_sql() -> dict[str, str]:
         "tool_events_scan": _tool_events_scan_oracle(),
         "message_parents_scan": _message_parents_scan_oracle(),
         "pair_scores_cached": _pair_scores_cached_oracle(),
+        "er_resume": _er_resume_oracle(),
         "serving_table_sink": """
             SELECT sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT
                      AS appended_even,
