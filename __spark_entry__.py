@@ -1107,6 +1107,82 @@ def q_er_resume(spark, sf):
     )
 
 
+_STREAM_QUERY_SEQ = [0]
+
+
+def q_streaming_state(spark, sf):
+    """The ST6 custom stateful operator driven through the oracle gate:
+    documents-derived turns are replayed as a real file STREAM
+    (readStream + Trigger.AvailableNow) into
+    streaming/stateful.streaming_conversation_state
+    (applyInPandasWithState, update mode), and the per-conversation
+    running summaries landing in the memory sink are reduced to their
+    final values (counts are monotone, so max = final). A 10-minute idle
+    timeout keeps conversations open for the whole drain, so the oracle
+    is the plain per-conversation aggregate."""
+    import hashlib as _hl
+    import os
+    import shutil
+
+    from session_graph_spark.sources.testdata import documents_as_turns
+    from session_graph_spark.streaming.stateful import (
+        streaming_conversation_state,
+    )
+
+    h = _hl.md5(sf.encode()).hexdigest()[:10]
+    src_dir = os.path.join("/tmp/spark_graft_fixtures", f"stream_src_{h}")
+    ckpt_dir = os.path.join("/tmp/spark_graft_fixtures", f"stream_ckpt_{h}")
+    shutil.rmtree(src_dir, ignore_errors=True)
+    shutil.rmtree(ckpt_dir, ignore_errors=True)
+    # ts travels as a STRING: a timestamp column through the Arrow state
+    # channel crashes the Python worker on this Spark build
+    turns = documents_as_turns(spark, sf).select(
+        "conv_id", "text", F.col("ts").cast("string").alias("ts")
+    )
+    turns.coalesce(1).write.mode("overwrite").parquet(src_dir)
+
+    stream = spark.readStream.schema(
+        "conv_id string, text string, ts string"
+    ).parquet(src_dir)
+    out = streaming_conversation_state(stream, idle_timeout_ms=600_000)
+    _STREAM_QUERY_SEQ[0] += 1
+    qname = f"stream_state_{h}_{_STREAM_QUERY_SEQ[0]}"
+    n_convs = turns.select("conv_id").distinct().count()
+    query = (
+        out.writeStream.format("memory").queryName(qname)
+        .option("checkpointLocation", ckpt_dir)
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    # applyInPandasWithState + AvailableNow can idle on the processing-
+    # time timeout tick after draining, so poll the sink for completeness
+    # (every conversation emits its progress row in the batch it appears)
+    # instead of blocking on termination
+    import time as _time
+
+    deadline = _time.time() + 180
+    while _time.time() < deadline:
+        try:
+            if spark.table(qname).select("conv_id").distinct().count() >= n_convs:
+                break
+        except Exception:  # noqa: BLE001 - sink table not registered yet
+            pass
+        if not query.isActive:
+            break
+        _time.sleep(2)
+    query.stop()
+    res = (
+        spark.table(qname)
+        .where(~F.col("closed"))
+        .groupBy("conv_id")
+        .agg(F.max("n_turns").alias("n_turns"),
+             F.max("n_chars").alias("n_chars"),
+             F.max("last_ts").alias("last_ts"))
+        .orderBy("conv_id")
+        .localCheckpoint(eager=True)
+    )
+    return res
+
+
 def q_media_features(spark, sf):
     """Multimodal plumbing exercised on driver data: documents become a
     media-asset table (deterministic UTF-8 bytes as the opaque binary
@@ -2102,6 +2178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pair_scores_cached": q_pair_scores_cached,
         "serving_table_sink": q_serving_table_sink,
         "er_resume": q_er_resume,
+        "streaming_state": q_streaming_state,
         "er_clusters": q_er_clusters,
         "er_mentions": q_er_mentions,
         "triple_hubs": q_triple_hubs,
@@ -2290,6 +2367,13 @@ def oracle_sql() -> dict[str, str]:
         "message_parents_scan": _message_parents_scan_oracle(),
         "pair_scores_cached": _pair_scores_cached_oracle(),
         "er_resume": _er_resume_oracle(),
+        "streaming_state": """
+            SELECT source AS conv_id, count(*)::BIGINT AS n_turns,
+                   sum(length(text))::BIGINT AS n_chars,
+                   strftime(TIMESTAMP '2026-01-01 00:00:00'
+                            + to_seconds(max(doc_id)::BIGINT),
+                            '%Y-%m-%d %H:%M:%S') AS last_ts
+            FROM documents GROUP BY source ORDER BY conv_id""",
         "serving_table_sink": """
             SELECT sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT
                      AS appended_even,
