@@ -1183,6 +1183,70 @@ def q_streaming_state(spark, sf):
     return res
 
 
+def q_er_incremental_update(spark, sf):
+    """The ST5 late/updated-data path driven through the oracle gate:
+    batch 1 processes all documents-derived turns; batch 2 re-presents
+    the same turns with ONE conversation's texts modified (suffix
+    appended to the lexicographically-first source). The runner must
+    re-process exactly that conversation (its content hash changed) and
+    MERGE — replace its old rows, keep everyone else's. Oracle = one-shot
+    SQL over the post-update corpus."""
+    import shutil
+    import tempfile
+
+    from session_graph_spark.sources.testdata import documents_as_turns
+    from session_graph_spark.streaming.incremental import IncrementalRunner
+
+    state = tempfile.mkdtemp(prefix="er_inc_upd_")
+    try:
+        turns = documents_as_turns(spark, sf)
+        first_src = turns.agg(F.min("conv_id")).collect()[0][0]
+        changed = turns.withColumn(
+            "text",
+            F.when(F.col("conv_id") == first_src,
+                   F.concat(F.col("text"), F.lit(" changedtoken changedtoken")))
+            .otherwise(F.col("text")),
+        )
+        runner = IncrementalRunner(spark, state)
+        runner.run(turns)
+        second = runner.run(changed)
+        n_second_convs = second.select("conv_id").distinct().count()
+        final = (
+            spark.read.parquet(str(runner.state_dir / "clusters"))
+            .withColumn("reprocessed_convs", F.lit(n_second_convs))
+            .orderBy("conv_id", "canon_label", "cluster_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+    return final
+
+
+def q_kb_linking_cached(spark, sf):
+    """The KB decision cache driven through the oracle gate (reference
+    link_entities.py:308-311 negative/positive caching): link_to_kb runs
+    with a pre-seeded cache carrying sentinel decisions for every label
+    whose length is divisible by 4 — cached labels must skip the join
+    and return the sentinel verbatim; the rest take the normal ladder."""
+    from session_graph_spark.operators.linking import kb_df, link_to_kb
+
+    labels = _tokens(spark, sf).select(
+        F.lower(F.trim(F.col("token"))).alias("label")
+    ).distinct()
+    cache = labels.where(F.length("label") % 4 == 0).select(
+        "label",
+        F.lit("kb:cached").alias("kb_id"),
+        F.lit("cached").alias("kb_label"),
+        F.lit("cached-desc").alias("description"),
+        F.lit(0.99).alias("confidence"),
+        F.lit(True).alias("linked"),
+    )
+    out = link_to_kb(labels, kb_df(spark), cache=cache)
+    return out.select(
+        "label", "kb_id", F.round("confidence", 2).alias("confidence"), "linked"
+    ).orderBy("label")
+
+
 def q_media_features(spark, sf):
     """Multimodal plumbing exercised on driver data: documents become a
     media-asset table (deterministic UTF-8 bytes as the opaque binary
@@ -1270,6 +1334,35 @@ def _kb_linking_oracle() -> str:
                CASE WHEN confidence >= 0.7 THEN kb_id END AS kb_id,
                round(confidence, 2) AS confidence,
                confidence >= 0.7 AS linked
+        FROM best WHERE rk = 1 ORDER BY label"""
+
+
+def _kb_linking_cached_oracle() -> str:
+    """kb_linking ladder with the sentinel short-circuit for labels whose
+    length % 4 == 0 (the pre-seeded cache)."""
+    return f"""
+        WITH q AS (SELECT DISTINCT lower(trim(token)) AS label FROM {_TOK_SQL}),
+             {_kb_dim_sql()},
+             cand AS (SELECT q.label, d.kb_id, d.via_alias, d.is_tech
+                      FROM q LEFT JOIN dim d ON q.label = d.match_key),
+             scored AS (SELECT label, kb_id,
+                          (CASE WHEN kb_id IS NULL THEN 0.0
+                                WHEN NOT via_alias THEN 1.0
+                                WHEN is_tech THEN 0.8
+                                ELSE 0.5 END)::DOUBLE AS confidence
+                        FROM cand),
+             best AS (SELECT label, kb_id, confidence,
+                             row_number() OVER (PARTITION BY label
+                                                ORDER BY confidence DESC, kb_id)
+                             AS rk
+                      FROM scored)
+        SELECT label,
+               CASE WHEN length(label) % 4 = 0 THEN 'kb:cached'
+                    WHEN confidence >= 0.7 THEN kb_id END AS kb_id,
+               CASE WHEN length(label) % 4 = 0 THEN 0.99
+                    ELSE round(confidence, 2) END AS confidence,
+               CASE WHEN length(label) % 4 = 0 THEN TRUE
+                    ELSE confidence >= 0.7 END AS linked
         FROM best WHERE rk = 1 ORDER BY label"""
 
 
@@ -1752,6 +1845,29 @@ def _er_resume_oracle() -> str:
         ORDER BY label"""
 
 
+def _er_incremental_update_oracle() -> str:
+    """One-shot SQL over the POST-UPDATE corpus (the lexicographically
+    first source's texts carry the appended tokens), same chain as the
+    er_incremental oracle; reprocessed_convs = 1 pins that exactly the
+    changed conversation was re-run."""
+    return f"""
+        WITH RECURSIVE docs_upd AS (
+          SELECT doc_id, source,
+                 CASE WHEN source = (SELECT min(source) FROM documents)
+                      THEN text || ' changedtoken changedtoken'
+                      ELSE text END AS text
+          FROM documents),
+        {_mentions_cte(rel="docs_upd")},
+        {_er_labels_cte(min_sessions=1)},
+        {_score_cc_cte("er_labels")}
+        SELECT cm.conv_id, cm.canon_label,
+               coalesce(grp.cluster_id, cm.canon_label) AS cluster_id,
+               1 AS reprocessed_convs
+        FROM canon_mentions cm
+        LEFT JOIN grp ON cm.canon_label = grp.label
+        ORDER BY conv_id, canon_label, cluster_id"""
+
+
 def _pair_scores_cached_oracle() -> str:
     return f"""
         WITH {_mentions_cte()},
@@ -2035,7 +2151,7 @@ def _quality_features_oracle() -> str:
         FROM c ORDER BY doc_id"""
 
 
-def _mentions_cte() -> str:
+def _mentions_cte(rel: str = "documents") -> str:
     """DuckDB mirror of the deterministic extraction over documents-derived
     turns. The general extractor has a phrase-gazetteer channel (Java
     lookbehind regex, inexpressible in RE2) and ~20 L1 reject rules, but
@@ -2054,7 +2170,7 @@ def _mentions_cte() -> str:
                  (row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1)::INT
                    AS turn_idx,
                  string_split(lower(substring(text, 1, 1500)), ' ') AS l
-          FROM documents
+          FROM {rel}
           WHERE length(trim(text)) >= 30
         ),
         tok AS (
@@ -2179,6 +2295,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serving_table_sink": q_serving_table_sink,
         "er_resume": q_er_resume,
         "streaming_state": q_streaming_state,
+        "er_incremental_update": q_er_incremental_update,
+        "kb_linking_cached": q_kb_linking_cached,
         "er_clusters": q_er_clusters,
         "er_mentions": q_er_mentions,
         "triple_hubs": q_triple_hubs,
@@ -2367,6 +2485,8 @@ def oracle_sql() -> dict[str, str]:
         "message_parents_scan": _message_parents_scan_oracle(),
         "pair_scores_cached": _pair_scores_cached_oracle(),
         "er_resume": _er_resume_oracle(),
+        "er_incremental_update": _er_incremental_update_oracle(),
+        "kb_linking_cached": _kb_linking_cached_oracle(),
         "streaming_state": """
             SELECT source AS conv_id, count(*)::BIGINT AS n_turns,
                    sum(length(text))::BIGINT AS n_chars,
