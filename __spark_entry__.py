@@ -1247,6 +1247,30 @@ def q_kb_linking_cached(spark, sf):
     ).orderBy("label")
 
 
+def q_er_block_metrics(spark, sf):
+    """A4 blocking metrics (per-block size / pair-count distribution,
+    blocking.block_metrics) over the er_labels stage."""
+    from session_graph_spark.operators.blocking import block_metrics
+    from session_graph_spark.plans.pipeline import alias_df, mentions_from_turns, \
+        normalized_labels, prepare_turns
+    from session_graph_spark.sources.testdata import documents_as_turns
+
+    m = mentions_from_turns(prepare_turns(documents_as_turns(spark, sf)))
+    lab = normalized_labels(m, alias_df(spark))
+    return block_metrics(lab).orderBy("block_key")
+
+
+def q_session_overlap(spark, sf):
+    """A9 / template 11: conversation pairs sharing > 2 entity clusters,
+    over the full ER pipeline's mention-cluster assignment."""
+    from session_graph_spark.plans.pipeline import resolve
+    from session_graph_spark.queries import cross_session_overlap
+    from session_graph_spark.sources.testdata import documents_as_turns
+
+    res = resolve(spark, documents_as_turns(spark, sf))
+    return cross_session_overlap(res.mention_clusters)
+
+
 def q_media_features(spark, sf):
     """Multimodal plumbing exercised on driver data: documents become a
     media-asset table (deterministic UTF-8 bytes as the opaque binary
@@ -1868,6 +1892,38 @@ def _er_incremental_update_oracle() -> str:
         ORDER BY conv_id, canon_label, cluster_id"""
 
 
+def _er_block_metrics_oracle() -> str:
+    return f"""
+        WITH {_mentions_cte()},
+        {_er_labels_cte()}
+        SELECT block_key, count(*)::BIGINT AS n_labels,
+               (count(*) * (count(*) - 1) / 2.0)::DOUBLE AS n_pairs
+        FROM er_labels GROUP BY block_key ORDER BY block_key"""
+
+
+def _session_overlap_oracle() -> str:
+    """Conversation pairs sharing > 2 clusters over the same score+CC
+    assignment as the er_clusters oracle (min_sessions=2 default)."""
+    return f"""
+        WITH RECURSIVE {_mentions_cte()},
+        {_er_labels_cte()},
+        {_score_cc_cte("er_labels")},
+        mc AS (SELECT DISTINCT cm.conv_id,
+                      coalesce(grp.cluster_id, cm.canon_label) AS cluster_id
+               FROM canon_mentions cm
+               JOIN (SELECT DISTINCT canon_label FROM er_labels) l
+                 ON cm.canon_label = l.canon_label
+               LEFT JOIN grp ON cm.canon_label = grp.label),
+        pairs_ov AS (SELECT a.conv_id AS conv_a, b.conv_id AS conv_b,
+                            count(*) AS n_shared
+                     FROM mc a JOIN mc b
+                       ON a.cluster_id = b.cluster_id AND a.conv_id < b.conv_id
+                     GROUP BY a.conv_id, b.conv_id
+                     HAVING count(*) > 2)
+        SELECT conv_a, conv_b, n_shared::BIGINT AS n_shared
+        FROM pairs_ov ORDER BY n_shared DESC, conv_a, conv_b LIMIT 10"""
+
+
 def _pair_scores_cached_oracle() -> str:
     return f"""
         WITH {_mentions_cte()},
@@ -2297,6 +2353,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_state": q_streaming_state,
         "er_incremental_update": q_er_incremental_update,
         "kb_linking_cached": q_kb_linking_cached,
+        "er_block_metrics": q_er_block_metrics,
+        "session_overlap": q_session_overlap,
         "er_clusters": q_er_clusters,
         "er_mentions": q_er_mentions,
         "triple_hubs": q_triple_hubs,
@@ -2487,6 +2545,8 @@ def oracle_sql() -> dict[str, str]:
         "er_resume": _er_resume_oracle(),
         "er_incremental_update": _er_incremental_update_oracle(),
         "kb_linking_cached": _kb_linking_cached_oracle(),
+        "er_block_metrics": _er_block_metrics_oracle(),
+        "session_overlap": _session_overlap_oracle(),
         "streaming_state": """
             SELECT source AS conv_id, count(*)::BIGINT AS n_turns,
                    sum(length(text))::BIGINT AS n_chars,
