@@ -285,3 +285,36 @@ def test_ivf_topk_recall_and_determinism(spark):
     # deterministic
     again = ivf_topk(emb, q, k=10, n_cells=16, n_probe=6)
     assert sorted(map(tuple, approx.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_salted_caps_invariants(spark):
+    """Property: for random skewed bucket assignments, salted
+    sub-bucketing (a) never produces a join key with more than
+    MAX_BUCKET_DOCS docs, (b) keeps every doc in exactly one sub-bucket
+    per original bucket, and (c) assigns salts deterministically by
+    doc_id rank."""
+    import random
+
+    from session_graph_spark.operators.dedup import MAX_BUCKET_DOCS, _cap_buckets
+
+    rng = random.Random(123)
+    rows = [(i, f"b{rng.randint(0, 3)}") for i in range(500)]
+    banded = spark.createDataFrame(rows, "doc_id long, bucket string")
+    out = _cap_buckets(banded, ["bucket"]).collect()
+
+    assert len(out) == len(rows)  # (b): nothing dropped
+    by_key: dict = {}
+    for r in out:
+        by_key.setdefault((r["bucket"], r["__salt"]), []).append(r["doc_id"])
+    for (bucket, salt), ids in by_key.items():
+        assert len(ids) <= MAX_BUCKET_DOCS  # (a)
+    # (c): salt = rank(doc_id within bucket) // cap
+    by_bucket: dict = {}
+    for i, b in rows:
+        by_bucket.setdefault(b, []).append(i)
+    expected = {}
+    for b, ids in by_bucket.items():
+        for rank, i in enumerate(sorted(ids)):
+            expected[(b, i)] = rank // MAX_BUCKET_DOCS
+    for r in out:
+        assert r["__salt"] == expected[(r["bucket"], r["doc_id"])]

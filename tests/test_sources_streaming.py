@@ -381,3 +381,55 @@ def test_stateful_conversation_stream(spark, tmp_path):
     ).collect()
     got = {r["conv_id"]: (r["n_turns"], r["n_chars"]) for r in rows}
     assert got == want
+
+
+def test_deepseek_dfs_walker_matches_recursive_reference():
+    """Property: the iterative preorder walker (_walk_deepseek_mapping)
+    must equal a plain recursive preorder over randomly generated trees —
+    forks, empty fragment lists, and missing children included."""
+    import random
+
+    from session_graph_spark.sources.readers import _walk_deepseek_mapping
+
+    def recursive_walk(mapping, node_id, out):
+        node = mapping.get(node_id)
+        if not isinstance(node, dict):
+            return
+        msg = node.get("message") or {}
+        frags = msg.get("fragments") or []
+        ts = msg.get("inserted_at")
+        u = [f.get("content") for f in frags
+             if f.get("type") == "REQUEST" and f.get("content")]
+        a = [f.get("content") for f in frags
+             if f.get("type") in ("RESPONSE", "THINK") and f.get("content")]
+        if u:
+            out.append(("user", "\n".join(u), ts))
+        if a:
+            out.append(("assistant", "\n".join(a), ts))
+        for c in node.get("children") or []:
+            recursive_walk(mapping, c, out)
+
+    rng = random.Random(99)
+    for trial in range(50):
+        n = rng.randint(1, 40)
+        mapping = {}
+        ids = ["root"] + [f"n{i}" for i in range(1, n)]
+        children: dict[str, list] = {i: [] for i in ids}
+        for i in range(1, n):
+            parent = ids[rng.randint(0, i - 1)]  # random tree, forks allowed
+            children[parent].append(ids[i])
+        for nid in ids:
+            frags = []
+            for _ in range(rng.randint(0, 3)):
+                frags.append({
+                    "type": rng.choice(["REQUEST", "RESPONSE", "THINK", "OTHER"]),
+                    "content": rng.choice([f"c{rng.randint(0, 9)}", "", None]),
+                })
+            mapping[nid] = {
+                "parent": None if nid == "root" else "x",
+                "message": {"fragments": frags, "inserted_at": f"t{nid}"},
+                "children": children[nid],
+            }
+        expected: list = []
+        recursive_walk(mapping, "root", expected)
+        assert _walk_deepseek_mapping(mapping) == expected, f"trial {trial}"
