@@ -76,10 +76,18 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    def timed(name: str, fn) -> None:
-        t0 = time.time()
-        fn()
-        timings[name] = round(time.time() - t0, 3)
+    def timed(name: str, fn, reps: int = 1) -> None:
+        """Best-of-reps wall time: this sandbox VM shows 2-4x
+        noisy-neighbor swings between identical runs (BENCH.md), and min
+        is the same noise-resistant estimator scripts/run_scaling.py
+        uses across whole bench invocations."""
+        best = None
+        for _ in range(max(reps, 1)):
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     # extraction is memory-bandwidth-bound: above the ~16-task knee, cap
     # the ER job's map concurrency (scoped; other queries keep all slots)
@@ -87,12 +95,20 @@ def main() -> None:
 
     # headline: full ER pipeline, turns/sec
     def run_er():
+        # a previous rep's .cache()d stages match this rep's plans in the
+        # CacheManager (lookup is by canonicalized plan) — clear so every
+        # rep recomputes the full pipeline rather than reading rep 1's
+        # cached mentions
+        spark.catalog.clearCache()
         t = spark.read.parquet(turns_path)
         res = resolve(spark, t, max_parallelism=er_par)
         res.clusters.count()
         res.mention_clusters.count()
 
-    timed("er_pipeline", run_er)
+    # best-of-N for the headline (N=2 default; scaling reps set 1 and
+    # take their min across whole invocations instead)
+    er_reps = int(os.environ.get("SPARK_GRAFT_ER_REPS", "2"))
+    timed("er_pipeline", run_er, reps=er_reps)
 
     # ER over the documents-derived turns of this scale factor
     timed("er_documents", lambda: resolve(spark, documents_as_turns(spark, sf_dir),
@@ -118,6 +134,7 @@ def main() -> None:
         "cpus": cpus,
         "er_turns": n_turns,
         "er_turns_per_sec": turns_per_sec,
+        "er_reps": er_reps,
     }))
     spark.stop()
 
