@@ -46,6 +46,18 @@ class ResolutionResult:
     mention_clusters: DataFrame  # mentions + cluster_id
     metrics: dict = field(default_factory=dict)
 
+    def unpersist(self, blocking: bool = False) -> None:
+        """Release the fast path's cached stages. A long-lived service
+        that calls resolve() per batch (IncrementalRunner) would
+        otherwise accumulate one set of cached mentions/labels/scores
+        per batch in the executor block manager — call this once every
+        consumer has severed lineage (collect/localCheckpoint/write)."""
+        for df in (self.mentions, self.labels, self.pairs_scored, self.clusters):
+            try:
+                df.unpersist(blocking)
+            except Exception:  # noqa: BLE001 - checkpointed stages aren't cached
+                pass
+
 
 def alias_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(alias_rows(), ["surface", "canonical"])

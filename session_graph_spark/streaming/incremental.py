@@ -82,6 +82,9 @@ class IncrementalRunner:
         out = res.mention_clusters.select(
             "conv_id", "canon_label", "cluster_id"
         ).localCheckpoint(eager=True)
+        # lineage is severed: drop this batch's cached stages so a
+        # long-running service doesn't accumulate one cache set per batch
+        res.unpersist()
         # merge-by-conv_id, not blind append: a *changed* conversation's
         # old assignment rows must be replaced or readers of the clusters
         # table see stale duplicates forever
