@@ -433,3 +433,53 @@ def test_deepseek_dfs_walker_matches_recursive_reference():
         expected: list = []
         recursive_walk(mapping, "root", expected)
         assert _walk_deepseek_mapping(mapping) == expected, f"trial {trial}"
+
+
+def test_quarantine_isolates_poison_conversation(spark, tmp_path):
+    """ST2 DLQ analog: a conversation whose processing throws must be
+    bisected out and quarantined — healthy conversations in the same
+    batch still commit, the poison conv is not retried while its content
+    is unchanged, and it heals (and leaves the DLQ) once its content
+    changes and processing succeeds."""
+    from session_graph_spark import corpus
+    from session_graph_spark.plans.pipeline import resolve
+    from session_graph_spark.streaming.incremental import IncrementalRunner
+
+    turns = corpus.generate_turns(spark, n_convs=6, seed=42).cache()
+    poison = sorted(
+        r[0] for r in turns.select("conv_id").distinct().collect()
+    )[0]
+    flag = {"fail": True}
+
+    def failing_resolve(t):
+        present = {r[0] for r in t.select("conv_id").distinct().collect()}
+        if flag["fail"] and poison in present:
+            raise RuntimeError("decode explosion in poison conv")
+        return resolve(spark, t, min_sessions=1)
+
+    r = IncrementalRunner(spark, str(tmp_path / "state"),
+                          resolve_fn=failing_resolve)
+    out = r.run(turns)
+    committed = {x[0] for x in out.select("conv_id").distinct().collect()}
+    assert poison not in committed
+    assert len(committed) >= 1  # healthy convs still landed
+
+    dlq = {x["conv_id"]: x["error"] for x in r.quarantined().collect()}
+    assert poison in dlq and "decode explosion" in dlq[poison]
+
+    # unchanged content -> not retried (watermarked), stays quarantined
+    assert r.run(turns).count() == 0
+    assert r.quarantined().where(F.col("conv_id") == poison).count() == 1
+
+    # content change + healthy processing -> reprocessed and healed
+    flag["fail"] = False
+    changed = turns.withColumn(
+        "text",
+        F.when(F.col("conv_id") == poison,
+               F.concat(F.col("text"), F.lit(" recovered")))
+        .otherwise(F.col("text")),
+    )
+    out3 = r.run(changed)
+    assert {x[0] for x in out3.select("conv_id").distinct().collect()} == {poison}
+    assert r.quarantined().where(F.col("conv_id") == poison).count() == 0
+    turns.unpersist()
