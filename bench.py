@@ -89,9 +89,14 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
 
-    # extraction is memory-bandwidth-bound: above the ~16-task knee, cap
-    # the ER job's map concurrency (scoped; other queries keep all slots)
-    er_par = cpus // 2 if cpus > 16 else None
+    # Round-2 capped extraction concurrency at cpus/2 above 16 threads
+    # (memory-bandwidth knee). Re-measured after the round-3 shuffle
+    # cuts: full width now wins at local[32] (best-of sweep: par=None
+    # 23-31s vs par=16 34s vs par=8 78s) — the extraction stage no
+    # longer saturates the bus once the reduce side shrank. The knob
+    # stays available on resolve(max_parallelism=...) for hosts where
+    # it helps; the bench runs full width.
+    er_par = None
 
     # headline: full ER pipeline, turns/sec
     def run_er():
