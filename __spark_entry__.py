@@ -177,21 +177,32 @@ def q_lang_stats(spark, sf):
     )
 
 
-def q_token_count(spark, sf):
-    """Text analysis: whitespace token count per document."""
-    return _docs(spark, sf).select(
-        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
-    )
+def q_text_features(spark, sf):
+    """Text-analysis rollup per document — one row per doc carrying the
+    whole text toolbox so each function's values are oracle-hashed:
+    token count (whitespace), md5 fingerprint of the 64-char prefix (N6),
+    stopword-profile language ID, quality features (token count via
+    regex split, punct ratio, en-stopword ratio, 0.4/0.3/0.3 score
+    blend), and per-token stats (avg token length, the/a stopword
+    ratio). Consolidates the former token_count / fingerprint / lang_id /
+    quality_features / quality_score driver rows (round-4 registry
+    diet)."""
+    from session_graph_spark.functions.text import lang_id, quality_features
 
-
-def q_quality_score(spark, sf):
-    """Text analysis: stopword ratio + mean token length per doc."""
-    t = _docs(spark, sf).select(
-        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    d = _docs(spark, sf)
+    base = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.md5(F.substring("text", 1, 64)).alias("fp"),
+        lang_id(F.col("text")).alias("lang_pred"),
     )
-    return (
-        t.groupBy("doc_id").agg(
-            F.count("*").alias("n_tokens"),
+    qf = quality_features(d).select(
+        "doc_id", "n_tokens_q", "punct_ratio", "stopword_ratio_en", "quality_score"
+    )
+    tok = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id")
+        .agg(
             F.round(F.avg(F.length("token")), 4).alias("avg_token_len"),
             F.round(
                 F.sum(F.when(F.col("token").isin("the", "a"), 1).otherwise(0))
@@ -199,13 +210,7 @@ def q_quality_score(spark, sf):
             ).alias("stopword_ratio"),
         )
     )
-
-
-def q_fingerprint(spark, sf):
-    """N6: deterministic document fingerprint (md5 of 64-char prefix)."""
-    return _docs(spark, sf).select(
-        "doc_id", F.md5(F.substring("text", 1, 64)).alias("fp")
-    )
+    return base.join(qf, "doc_id").join(tok, "doc_id").orderBy("doc_id")
 
 
 def q_exact_dedup(spark, sf):
@@ -251,18 +256,10 @@ def q_prev_event(spark, sf):
     )
 
 
-def q_session_bounds(spark, sf):
-    """W2: first/last timestamp + count per user."""
-    return (
-        _events(spark, sf).groupBy("user_id")
-        .agg(F.min("ts").alias("created"), F.max("ts").alias("modified"),
-             F.count("*").alias("n_events"))
-        .orderBy("user_id")
-    )
-
-
 def q_sessionization(spark, sf):
-    """ST analog: 30-minute-gap sessionization; sessions per user."""
+    """W2 + ST analog in one row per user: session bounds (first/last
+    timestamp, event count) plus 30-minute-gap sessionization count
+    (absorbs the former session_bounds driver row)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     e = _events(spark, sf).withColumn("prev_ts", F.lag("ts").over(w))
     e = e.withColumn(
@@ -274,7 +271,11 @@ def q_sessionization(spark, sf):
         ).otherwise(0),
     )
     return (
-        e.groupBy("user_id").agg(F.sum("new_sess").alias("n_sessions"))
+        e.groupBy("user_id").agg(
+            F.min("ts").alias("created"), F.max("ts").alias("modified"),
+            F.count("*").alias("n_events"),
+            F.sum("new_sess").alias("n_sessions"),
+        )
         .orderBy("user_id")
     )
 
@@ -286,19 +287,6 @@ def q_event_type_rollup(spark, sf):
         .agg(F.count("*").alias("n_events"),
              F.round(F.sum("value"), 3).alias("total_value"))
         .orderBy("event_type")
-    )
-
-
-def q_top_customers(spark, sf):
-    """J-family relational check: broadcast join + agg + top-k."""
-    orders = spark.read.parquet(f"{sf}/orders.parquet")
-    cust = spark.read.parquet(f"{sf}/customer.parquet")
-    return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .groupBy("c_name")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
-             F.count("*").alias("n_orders"))
-        .orderBy(F.desc("revenue"), F.asc("c_name")).limit(10)
     )
 
 
@@ -326,15 +314,6 @@ def q_ann_topk(spark, sf):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
     return brute_force_topk(e, q, k=10)
-
-
-def q_embedding_label_counts(spark, sf):
-    """Embeddings table sanity: per-label vector counts."""
-    return (
-        spark.read.parquet(f"{sf}/embeddings.parquet")
-        .groupBy("label").agg(F.count("*").alias("n_vecs"))
-        .orderBy("label")
-    )
 
 
 def q_triple_hubs(spark, sf):
@@ -383,24 +362,6 @@ def q_ann_ivf_topk(spark, sf):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
     return ivf_topk(e, q, k=10, n_cells=16, n_probe=6)
-
-
-def q_lang_id(spark, sf):
-    """Stopword-profile language ID over documents (rows-only: pandas UDF)."""
-    from session_graph_spark.functions.text import lang_id
-
-    return _docs(spark, sf).select(
-        "doc_id", lang_id(F.col("text")).alias("lang_pred")
-    ).orderBy("doc_id")
-
-
-def q_quality_features(spark, sf):
-    """Quality-scoring features over documents (rows-only)."""
-    from session_graph_spark.functions.text import quality_features
-
-    return quality_features(_docs(spark, sf)).select(
-        "doc_id", "n_tokens_q", "punct_ratio", "stopword_ratio_en", "quality_score"
-    ).orderBy("doc_id")
 
 
 def q_predicate_search(spark, sf):
@@ -476,16 +437,46 @@ def q_kb_linking_ctx(spark, sf):
     ).orderBy("label")
 
 
-def q_kb_enrichment(spark, sf):
-    """Federated-enrichment analog (reference README.md:311-324 SERVICE
-    templates): linked labels joined back to the KB dimension for
-    description + alias list."""
-    from session_graph_spark.operators.linking import kb_df, kb_enrichment, link_to_kb
+def q_kb_pipeline(spark, sf):
+    """End-to-end KB composite (the reference's actual pipeline order:
+    resolve entities, then link_entities over the RESOLVED list with
+    per-entity context, then summary counters — link_entities.py main
+    flow + :653-663 + :760-786): mentions → ER clusters → per-cluster
+    co-mention context → context-aware KB link once per cluster
+    canonical → enrichment columns (README.md:311-324 SERVICE analog) →
+    run metrics pinned as columns. Replaces the former kb_enrichment +
+    kb_link_metrics driver rows while widening the covered surface."""
+    from session_graph_spark.operators.linking import kb_df, link_clusters
+    from session_graph_spark.operators.triples import entity_context
+    from session_graph_spark.plans.pipeline import resolve
+    from session_graph_spark.sources.testdata import documents_as_turns
 
+    res = resolve(spark, documents_as_turns(spark, sf))
+    ctx = entity_context(
+        res.mention_clusters.select(
+            "conv_id", "turn_idx", F.col("cluster_id").alias("canon_label")
+        )
+    )
     kb = kb_df(spark)
-    labels = _tokens(spark, sf).select(F.col("token").alias("label"))
-    linked = link_to_kb(labels, kb, label_col="label")
-    return kb_enrichment(linked, kb)
+    linked = link_clusters(res.clusters, kb, context=ctx)
+    aliases_dim = F.broadcast(kb.select(
+        "kb_id", F.concat_ws(",", F.sort_array("aliases")).alias("aliases_csv")
+    ))
+    out = linked.join(aliases_dim, "kb_id", "left")
+    metrics = out.agg(
+        F.sum(F.when(F.col("linked"), 1).otherwise(0)).alias("n_linked"),
+        F.sum(F.when(~F.col("linked") & (F.col("confidence") > 0), 1)
+              .otherwise(0)).alias("n_below"),
+        F.sum(F.when(F.col("confidence") == 0, 1).otherwise(0)).alias("n_not_found"),
+    )
+    return (
+        out.crossJoin(F.broadcast(metrics))
+        .select("cluster_id", "kb_id",
+                F.round("confidence", 2).alias("confidence"), "linked",
+                "kb_label", "description", "aliases_csv",
+                "n_linked", "n_below", "n_not_found")
+        .orderBy("cluster_id")
+    )
 
 
 def q_models_seen(spark, sf):
@@ -508,27 +499,32 @@ def q_models_seen(spark, sf):
 
 def q_er_labels(spark, sf):
     """The ER pipeline's post-filter label table (normalized_labels stage:
-    alias join -> distinct conv/label -> min-sessions >= 2 -> block key).
-    Fully SQL-expressible on this corpus (plain lowercase alpha tokens, so
-    the L2 pandas filter reduces to a no-op — same justification as
-    _mentions_cte)."""
+    alias join -> distinct conv/label -> min-sessions >= 2 -> block key),
+    joined to the A4 blocking metrics (per-block label count and pair
+    count, blocking.block_metrics — absorbs the former er_block_metrics
+    driver row). Fully SQL-expressible on this corpus (plain lowercase
+    alpha tokens, so the L2 pandas filter reduces to a no-op — same
+    justification as _mentions_cte)."""
     from session_graph_spark.plans.pipeline import (alias_df, mentions_from_turns,
                                                     normalized_labels, prepare_turns)
     from session_graph_spark.sources.testdata import documents_as_turns
 
+    from session_graph_spark.operators.blocking import block_metrics
+
     turns = prepare_turns(documents_as_turns(spark, sf))
     lab = normalized_labels(mentions_from_turns(turns), alias_df(spark))
-    return lab.select("canon_label", "n_sessions", "block_key").orderBy("canon_label")
-
-
-def q_kb_link_metrics(spark, sf):
-    """A4-style link-run metrics (reference link_entities.py:760-786
-    summary counters): linked / below_threshold / not_found counts and
-    shares over the context-free KB link of distinct document tokens."""
-    from session_graph_spark.operators.linking import kb_df, link_metrics, link_to_kb
-
-    labels = _tokens(spark, sf).select(F.col("token").alias("label"))
-    return link_metrics(link_to_kb(labels, kb_df(spark), label_col="label"))
+    bm = block_metrics(lab).select(
+        "block_key",
+        F.col("n_labels").alias("n_labels_in_block"),
+        F.col("n_pairs").alias("n_pairs_in_block"),
+    )
+    return (
+        lab.select("canon_label", "n_sessions", "block_key")
+        .join(bm, "block_key")
+        .select("canon_label", "n_sessions", "block_key",
+                "n_labels_in_block", "n_pairs_in_block")
+        .orderBy("canon_label")
+    )
 
 
 def q_er_edges_exact(spark, sf):
@@ -582,15 +578,18 @@ def q_embedding_neardup(spark, sf):
 
 
 def q_er_incremental(spark, sf):
-    """Incremental-processing surface as a driver query (SURVEY §2.9
-    ST1/ST3/P12): run IncrementalRunner twice over the same
-    documents-derived turns — the first batch processes everything, the
-    second must watermark-skip (exactly-once effect: an idempotent no-op
-    that leaves the merged clusters table untouched) — then return the
-    final state table. The oracle recomputes the same assignment one-shot
-    in SQL (min_sessions=1, the incremental contract), so parity proves
-    both the pipeline math AND that the re-run neither duplicated nor
-    clobbered state."""
+    """Incremental-processing surface as one driver query (SURVEY §2.9
+    ST1/ST3/P12/ST5 — absorbs the former er_incremental_update row): run
+    IncrementalRunner three times over documents-derived turns. Batch 1
+    processes everything; batch 2 re-presents identical turns and must
+    watermark-skip (exactly-once effect: an idempotent no-op); batch 3
+    re-presents the turns with ONE conversation's texts modified (suffix
+    appended to the lexicographically-first source) and must re-process
+    exactly that conversation (content hash changed) and MERGE — replace
+    its old rows, keep everyone else's. The oracle recomputes the final
+    assignment one-shot in SQL over the POST-UPDATE corpus
+    (min_sessions=1, the incremental contract) with both behavior pins
+    (second_batch_rows=0, reprocessed_convs=1) folded in as columns."""
     import shutil
     import tempfile
 
@@ -600,15 +599,26 @@ def q_er_incremental(spark, sf):
     state = tempfile.mkdtemp(prefix="er_inc_state_")
     try:
         turns = documents_as_turns(spark, sf)
+        first_src = turns.agg(F.min("conv_id")).collect()[0][0]
+        changed = turns.withColumn(
+            "text",
+            F.when(F.col("conv_id") == first_src,
+                   F.concat(F.col("text"), F.lit(" changedtoken changedtoken")))
+            .otherwise(F.col("text")),
+        )
         runner = IncrementalRunner(spark, state)
         runner.run(turns)
         second = runner.run(turns)  # watermark skip: must be empty
         n_second = second.count()
+        third = runner.run(changed)  # late-update merge: exactly 1 conv
+        n_third_convs = third.select("conv_id").distinct().count()
         final = (
-            spark.read.parquet(str(runner.state_dir / "clusters"))
-            # fold the skip evidence into the oracled output: any row
-            # from a non-empty second batch would break the row count
+            runner.clusters()
+            # fold the skip/merge evidence into the oracled output: any
+            # row from a non-empty second batch or a wrong batch-3 scope
+            # breaks the value hash
             .withColumn("second_batch_rows", F.lit(n_second))
+            .withColumn("reprocessed_convs", F.lit(n_third_convs))
             .orderBy("conv_id", "canon_label", "cluster_id")
             .localCheckpoint(eager=True)
         )
@@ -1183,45 +1193,6 @@ def q_streaming_state(spark, sf):
     return res
 
 
-def q_er_incremental_update(spark, sf):
-    """The ST5 late/updated-data path driven through the oracle gate:
-    batch 1 processes all documents-derived turns; batch 2 re-presents
-    the same turns with ONE conversation's texts modified (suffix
-    appended to the lexicographically-first source). The runner must
-    re-process exactly that conversation (its content hash changed) and
-    MERGE — replace its old rows, keep everyone else's. Oracle = one-shot
-    SQL over the post-update corpus."""
-    import shutil
-    import tempfile
-
-    from session_graph_spark.sources.testdata import documents_as_turns
-    from session_graph_spark.streaming.incremental import IncrementalRunner
-
-    state = tempfile.mkdtemp(prefix="er_inc_upd_")
-    try:
-        turns = documents_as_turns(spark, sf)
-        first_src = turns.agg(F.min("conv_id")).collect()[0][0]
-        changed = turns.withColumn(
-            "text",
-            F.when(F.col("conv_id") == first_src,
-                   F.concat(F.col("text"), F.lit(" changedtoken changedtoken")))
-            .otherwise(F.col("text")),
-        )
-        runner = IncrementalRunner(spark, state)
-        runner.run(turns)
-        second = runner.run(changed)
-        n_second_convs = second.select("conv_id").distinct().count()
-        final = (
-            spark.read.parquet(str(runner.state_dir / "clusters"))
-            .withColumn("reprocessed_convs", F.lit(n_second_convs))
-            .orderBy("conv_id", "canon_label", "cluster_id")
-            .localCheckpoint(eager=True)
-        )
-    finally:
-        shutil.rmtree(state, ignore_errors=True)
-    return final
-
-
 def q_kb_linking_cached(spark, sf):
     """The KB decision cache driven through the oracle gate (reference
     link_entities.py:308-311 negative/positive caching): link_to_kb runs
@@ -1245,19 +1216,6 @@ def q_kb_linking_cached(spark, sf):
     return out.select(
         "label", "kb_id", F.round("confidence", 2).alias("confidence"), "linked"
     ).orderBy("label")
-
-
-def q_er_block_metrics(spark, sf):
-    """A4 blocking metrics (per-block size / pair-count distribution,
-    blocking.block_metrics) over the er_labels stage."""
-    from session_graph_spark.operators.blocking import block_metrics
-    from session_graph_spark.plans.pipeline import alias_df, mentions_from_turns, \
-        normalized_labels, prepare_turns
-    from session_graph_spark.sources.testdata import documents_as_turns
-
-    m = mentions_from_turns(prepare_turns(documents_as_turns(spark, sf)))
-    lab = normalized_labels(m, alias_df(spark))
-    return block_metrics(lab).orderBy("block_key")
 
 
 def q_session_overlap(spark, sf):
@@ -1447,9 +1405,13 @@ def _kb_linking_ctx_oracle() -> str:
         FROM best WHERE rk = 1 ORDER BY label"""
 
 
-def _kb_enrichment_oracle() -> str:
-    """Linked labels (context-free ladder) joined back to the KB dimension
-    for kb_label, description, and the sorted alias csv."""
+def _kb_pipeline_oracle() -> str:
+    """DuckDB mirror of the end-to-end KB composite: the er_clusters
+    score+CC chain produces cluster canonicals; per-cluster context =
+    top-5 co-occurring cluster ids per (conv, turn) (entity_context
+    semantics); the context-aware ladder links each canonical once;
+    enrichment columns come from the KB VALUES; the three run counters
+    are cross-joined onto every row."""
     from session_graph_spark.operators.linking import KB_ENTRIES
 
     enrich_rows = ",\n             ".join(
@@ -1457,27 +1419,80 @@ def _kb_enrichment_oracle() -> str:
         for kb_id, label, desc, aliases in KB_ENTRIES
     )
     return f"""
-        WITH q AS (SELECT DISTINCT lower(trim(token)) AS label FROM {_TOK_SQL}),
-             {_kb_dim_sql()},
-             enrich(kb_id, kb_label, description, aliases_csv) AS (VALUES
+        WITH RECURSIVE {_mentions_cte()},
+        {_er_labels_cte()},
+        {_score_cc_cte("er_labels")},
+        {_kb_dim_sql()},
+        enrich(kb_id, kb_label, description_e, aliases_csv) AS (VALUES
              {enrich_rows}),
-             cand AS (SELECT q.label, d.kb_id, d.via_alias, d.is_tech
-                      FROM q LEFT JOIN dim d ON q.label = d.match_key),
-             scored AS (SELECT label, kb_id,
-                          (CASE WHEN kb_id IS NULL THEN 0.0
-                                WHEN NOT via_alias THEN 1.0
-                                WHEN is_tech THEN 0.8
-                                ELSE 0.5 END)::DOUBLE AS confidence
-                        FROM cand),
-             best AS (SELECT label, kb_id, confidence,
-                             row_number() OVER (PARTITION BY label
-                                                ORDER BY confidence DESC, kb_id)
-                             AS rk
-                      FROM scored)
-        SELECT b.label, b.kb_id, e.kb_label, e.description, e.aliases_csv
-        FROM best b JOIN enrich e USING (kb_id)
-        WHERE b.rk = 1 AND b.confidence >= 0.7
-        ORDER BY b.label"""
+        cmt AS (SELECT conv_id, turn_idx,
+                       coalesce(al.canonical, mentions.norm_label) AS canon_label
+                FROM mentions LEFT JOIN al ON mentions.norm_label = al.surface),
+        ca AS (SELECT DISTINCT cmt.conv_id, cmt.turn_idx,
+                      coalesce(grp.cluster_id, cmt.canon_label) AS cl
+               FROM cmt JOIN er_labels USING (canon_label)
+               LEFT JOIN grp ON cmt.canon_label = grp.label),
+        clab AS (SELECT DISTINCT cl AS label FROM ca),
+        co AS (SELECT a.cl AS label, b.cl AS ctx_tok, count(*) AS n
+               FROM ca a JOIN ca b USING (conv_id, turn_idx)
+               WHERE a.cl != b.cl GROUP BY 1, 2),
+        top AS (SELECT label, ctx_tok FROM (
+                  SELECT label, ctx_tok,
+                         row_number() OVER (PARTITION BY label
+                                            ORDER BY n DESC, ctx_tok) AS rk
+                  FROM co) WHERE rk <= 5),
+        ctxarr AS (SELECT label, list_sort(list(ctx_tok)) AS ctx
+                   FROM top GROUP BY label),
+        ctxflag AS (SELECT t.label, count(t.ctx_tok) AS n_ctx,
+                           coalesce(bool_or(d.is_tech), false) AS any_tech
+                    FROM top t LEFT JOIN dim d
+                      ON lower(t.ctx_tok) = d.match_key
+                    GROUP BY t.label),
+        kcand AS (SELECT q.label, d.kb_id, d.description, d.via_alias, d.is_tech
+                 FROM clab q LEFT JOIN dim d ON q.label = d.match_key),
+        kscored AS (SELECT c.label, c.kb_id,
+                     (CASE WHEN c.kb_id IS NULL THEN 0.0
+                           WHEN NOT c.via_alias THEN 1.0
+                           WHEN c.is_tech THEN 0.8
+                           ELSE 0.5 END)::DOUBLE AS confidence,
+                     (CASE WHEN f.label IS NULL OR f.n_ctx = 0 THEN 0
+                           WHEN f.any_tech = c.is_tech THEN 2
+                           ELSE 0 END)
+                     + least(greatest(coalesce(
+                         len(list_intersect(
+                           string_split(lower(array_to_string(cx.ctx, ' ')), ' '),
+                           string_split(lower(c.description), ' '))), 0), 0), 3)
+                       AS ctx_score
+                   FROM kcand c
+                   LEFT JOIN ctxflag f USING (label)
+                   LEFT JOIN ctxarr cx USING (label)),
+        kbest AS (SELECT label, kb_id, confidence,
+                        row_number() OVER (PARTITION BY label
+                                           ORDER BY confidence DESC,
+                                                    ctx_score DESC, kb_id)
+                        AS rk
+                 FROM kscored),
+        sel AS (SELECT label, kb_id, confidence FROM kbest WHERE rk = 1),
+        outp AS (SELECT s.label AS cluster_id,
+                        CASE WHEN s.confidence >= 0.7 THEN s.kb_id END AS kb_id,
+                        round(s.confidence, 2) AS confidence,
+                        s.confidence >= 0.7 AS linked,
+                        CASE WHEN s.confidence >= 0.7 THEN e.kb_label END AS kb_label,
+                        CASE WHEN s.confidence >= 0.7 THEN e.description_e END
+                          AS description,
+                        CASE WHEN s.confidence >= 0.7 THEN e.aliases_csv END
+                          AS aliases_csv
+                 FROM sel s LEFT JOIN enrich e ON s.kb_id = e.kb_id),
+        m2 AS (SELECT sum(CASE WHEN linked THEN 1 ELSE 0 END)::BIGINT AS n_linked,
+                      sum(CASE WHEN NOT linked AND confidence > 0 THEN 1 ELSE 0
+                          END)::BIGINT AS n_below,
+                      sum(CASE WHEN confidence = 0 THEN 1 ELSE 0 END)::BIGINT
+                        AS n_not_found
+               FROM outp)
+        SELECT cluster_id, kb_id, confidence, linked, kb_label, description,
+               aliases_csv, n_linked, n_below, n_not_found
+        FROM outp CROSS JOIN m2
+        ORDER BY cluster_id"""
 
 
 def _er_labels_cte(min_sessions: int = 2) -> str:
@@ -1511,8 +1526,13 @@ def _er_labels_cte(min_sessions: int = 2) -> str:
 def _er_labels_oracle() -> str:
     return f"""
         WITH {_mentions_cte()},
-        {_er_labels_cte()}
-        SELECT canon_label, n_sessions, block_key FROM er_labels
+        {_er_labels_cte()},
+        bm AS (SELECT block_key, count(*)::BIGINT AS n_labels_in_block,
+                      (count(*) * (count(*) - 1) / 2.0)::DOUBLE AS n_pairs_in_block
+               FROM er_labels GROUP BY block_key)
+        SELECT canon_label, n_sessions, block_key,
+               n_labels_in_block, n_pairs_in_block
+        FROM er_labels JOIN bm USING (block_key)
         ORDER BY canon_label"""
 
 
@@ -1629,33 +1649,6 @@ def _er_edges_exact_oracle() -> str:
         SELECT DISTINCT label_a, label_b, channel
         FROM (SELECT * FROM alias_edges UNION ALL SELECT * FROM slug_edges)
         ORDER BY channel, label_a, label_b"""
-
-
-def _kb_link_metrics_oracle() -> str:
-    """Status rollup over the same ladder CTE as the kb_linking oracle."""
-    return f"""
-        WITH q AS (SELECT DISTINCT lower(trim(token)) AS label FROM {_TOK_SQL}),
-             {_kb_dim_sql()},
-             cand AS (SELECT q.label, d.kb_id, d.via_alias, d.is_tech
-                      FROM q LEFT JOIN dim d ON q.label = d.match_key),
-             scored AS (SELECT label, kb_id,
-                          (CASE WHEN kb_id IS NULL THEN 0.0
-                                WHEN NOT via_alias THEN 1.0
-                                WHEN is_tech THEN 0.8
-                                ELSE 0.5 END)::DOUBLE AS confidence
-                        FROM cand),
-             best AS (SELECT label, confidence,
-                             row_number() OVER (PARTITION BY label
-                                                ORDER BY confidence DESC, kb_id)
-                             AS rk
-                      FROM scored),
-             outp AS (SELECT CASE WHEN confidence >= 0.7 THEN 'linked'
-                                  WHEN confidence > 0.0 THEN 'below_threshold'
-                                  ELSE 'not_found' END AS status
-                      FROM best WHERE rk = 1)
-        SELECT status, count(*) AS n,
-               round(count(*) * 1.0 / (SELECT count(*) FROM outp), 4) AS share
-        FROM outp GROUP BY status ORDER BY status"""
 
 
 def _ann_lsh_oracle() -> str:
@@ -1792,19 +1785,29 @@ def _embedding_neardup_oracle() -> str:
 
 
 def _er_incremental_oracle() -> str:
-    """One-shot SQL recomputation of the incremental end state: mention-
-    level canon labels (multiplicity preserved — the clusters table stores
-    one row per mention occurrence) joined to the score+CC assignment over
-    ALL labels (min_sessions=1, IncrementalRunner's contract: frequency
-    pruning is corpus-wide, not batch-local). second_batch_rows = 0 pins
-    the watermark-skip behavior."""
+    """One-shot SQL recomputation of the three-batch incremental end
+    state over the POST-UPDATE corpus (the lexicographically first
+    source's texts carry the appended tokens): mention-level canon labels
+    (multiplicity preserved — the clusters table stores one row per
+    mention occurrence) joined to the score+CC assignment over ALL labels
+    (min_sessions=1, IncrementalRunner's contract: frequency pruning is
+    corpus-wide, not batch-local). second_batch_rows = 0 pins the
+    watermark skip; reprocessed_convs = 1 pins that the late-update batch
+    re-ran exactly the changed conversation."""
     return f"""
-        WITH RECURSIVE {_mentions_cte()},
+        WITH RECURSIVE docs_upd AS (
+          SELECT doc_id, source,
+                 CASE WHEN source = (SELECT min(source) FROM documents)
+                      THEN text || ' changedtoken changedtoken'
+                      ELSE text END AS text
+          FROM documents),
+        {_mentions_cte(rel="docs_upd")},
         {_er_labels_cte(min_sessions=1)},
         {_score_cc_cte("er_labels")}
         SELECT cm.conv_id, cm.canon_label,
                coalesce(grp.cluster_id, cm.canon_label) AS cluster_id,
-               0 AS second_batch_rows
+               0 AS second_batch_rows,
+               1 AS reprocessed_convs
         FROM canon_mentions cm
         LEFT JOIN grp ON cm.canon_label = grp.label
         ORDER BY conv_id, canon_label, cluster_id"""
@@ -1867,38 +1870,6 @@ def _er_resume_oracle() -> str:
         FROM (SELECT DISTINCT canon_label FROM er_labels) l
         LEFT JOIN grp ON l.canon_label = grp.label
         ORDER BY label"""
-
-
-def _er_incremental_update_oracle() -> str:
-    """One-shot SQL over the POST-UPDATE corpus (the lexicographically
-    first source's texts carry the appended tokens), same chain as the
-    er_incremental oracle; reprocessed_convs = 1 pins that exactly the
-    changed conversation was re-run."""
-    return f"""
-        WITH RECURSIVE docs_upd AS (
-          SELECT doc_id, source,
-                 CASE WHEN source = (SELECT min(source) FROM documents)
-                      THEN text || ' changedtoken changedtoken'
-                      ELSE text END AS text
-          FROM documents),
-        {_mentions_cte(rel="docs_upd")},
-        {_er_labels_cte(min_sessions=1)},
-        {_score_cc_cte("er_labels")}
-        SELECT cm.conv_id, cm.canon_label,
-               coalesce(grp.cluster_id, cm.canon_label) AS cluster_id,
-               1 AS reprocessed_convs
-        FROM canon_mentions cm
-        LEFT JOIN grp ON cm.canon_label = grp.label
-        ORDER BY conv_id, canon_label, cluster_id"""
-
-
-def _er_block_metrics_oracle() -> str:
-    return f"""
-        WITH {_mentions_cte()},
-        {_er_labels_cte()}
-        SELECT block_key, count(*)::BIGINT AS n_labels,
-               (count(*) * (count(*) - 1) / 2.0)::DOUBLE AS n_pairs
-        FROM er_labels GROUP BY block_key ORDER BY block_key"""
 
 
 def _session_overlap_oracle() -> str:
@@ -2149,11 +2120,18 @@ def _models_seen_oracle() -> str:
         FROM documents GROUP BY source ORDER BY source"""
 
 
-def _lang_id_oracle() -> str:
-    """DuckDB mirror of functions.text.lang_id: stopword-profile hits per
-    language over the distinct lowercase word set; ties break in profile
-    order (en, es, de, fr, pt) because the Python loop only replaces the
-    best on strictly-greater hits."""
+def _text_features_oracle() -> str:
+    """DuckDB mirror of the merged per-doc text toolbox row:
+    - lang_pred: functions.text.lang_id — stopword-profile hits per
+      language over the distinct lowercase word set; ties break in
+      profile order (en, es, de, fr, pt) because the Python loop only
+      replaces the best on strictly-greater hits;
+    - n_tokens_q / punct_ratio / stopword_ratio_en / quality_score:
+      functions.text.quality_features (the 0.4/0.3/0.3 blend over the
+      ROUNDED intermediate columns, exactly as the Column code computes);
+    - n_tokens / fp / avg_token_len / stopword_ratio: the whitespace
+      token count, md5-of-64-char-prefix fingerprint, and per-token
+      stats."""
     from session_graph_spark.functions.text import _LANG_PROFILES
 
     langs = list(_LANG_PROFILES)  # insertion order = tie-break order
@@ -2168,27 +2146,18 @@ def _lang_id_oracle() -> str:
         conds = " AND ".join(f"h_{lg} >= h_{o}" for o in langs[i + 1:])
         case.append(f"WHEN {conds} THEN '{lg}'")
     case_sql = "\n               ".join(case)
+    en = ", ".join(f"'{w}'" for w in sorted(_LANG_PROFILES["en"]))
     return f"""
         WITH t AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS wl
                    FROM documents),
              h AS (SELECT doc_id,
                   {hit_cols}
-                   FROM t)
-        SELECT doc_id,
-               CASE {case_sql}
-                    ELSE '{langs[-1]}' END AS lang_pred
-        FROM h ORDER BY doc_id"""
-
-
-def _quality_features_oracle() -> str:
-    """DuckDB mirror of functions.text.quality_features (the en-profile
-    stopword ratio + punct ratio + the 0.4/0.3/0.3 score blend over the
-    ROUNDED intermediate columns, exactly as the Column code computes)."""
-    from session_graph_spark.functions.text import _LANG_PROFILES
-
-    en = ", ".join(f"'{w}'" for w in sorted(_LANG_PROFILES["en"]))
-    return f"""
-        WITH b AS (SELECT doc_id,
+                   FROM t),
+             lang AS (SELECT doc_id,
+                             CASE {case_sql}
+                                  ELSE '{langs[-1]}' END AS lang_pred
+                      FROM h),
+             b AS (SELECT doc_id,
                           regexp_split_to_array(text, '\\s+') AS toks,
                           length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS punct,
                           greatest(length(text), 1) AS nc
@@ -2198,13 +2167,31 @@ def _quality_features_oracle() -> str:
                           round(punct * 1.0 / nc, 4) AS punct_ratio,
                           round(len(list_filter(toks, x -> lower(x) IN ({en}))) * 1.0
                                 / greatest(len(toks), 1), 4) AS stopword_ratio_en
-                   FROM b)
-        SELECT doc_id, n_tokens_q, punct_ratio, stopword_ratio_en,
-               floor((least(n_tokens_q / 50.0, 1.0) * 0.4
-                      + (1 - least(punct_ratio * 4, 1.0)) * 0.3
-                      + least(stopword_ratio_en * 5, 1.0) * 0.3) * 10000 + 0.5)
-               / 10000 AS quality_score
-        FROM c ORDER BY doc_id"""
+                   FROM b),
+             qf AS (SELECT doc_id, n_tokens_q, punct_ratio, stopword_ratio_en,
+                           floor((least(n_tokens_q / 50.0, 1.0) * 0.4
+                                  + (1 - least(punct_ratio * 4, 1.0)) * 0.3
+                                  + least(stopword_ratio_en * 5, 1.0) * 0.3)
+                                 * 10000 + 0.5)
+                           / 10000 AS quality_score
+                    FROM c),
+             ws AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                    FROM documents),
+             tok AS (SELECT doc_id,
+                            round(avg(len(token)), 4) AS avg_token_len,
+                            round(sum(CASE WHEN token IN ('the','a') THEN 1
+                                           ELSE 0 END) * 1.0 / count(*), 4)
+                              AS stopword_ratio
+                     FROM ws GROUP BY doc_id),
+             base AS (SELECT doc_id,
+                             len(string_split(text, ' ')) AS n_tokens,
+                             md5(substring(text, 1, 64)) AS fp
+                      FROM documents)
+        SELECT doc_id, n_tokens, fp, lang_pred, n_tokens_q, punct_ratio,
+               stopword_ratio_en, quality_score, avg_token_len, stopword_ratio
+        FROM base JOIN qf USING (doc_id) JOIN lang USING (doc_id)
+             JOIN tok USING (doc_id)
+        ORDER BY doc_id"""
 
 
 def _mentions_cte(rel: str = "documents") -> str:
@@ -2302,67 +2289,73 @@ def _triple_hubs_oracle() -> str:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registry order = the driver's correctness window order (it checks
+    # the first 50 entries). Round 4 consolidated 60 rows to exactly 50 —
+    # merges: text_features <- {token_count, fingerprint, lang_id,
+    # quality_features, quality_score}; sessionization <- session_bounds;
+    # er_incremental <- er_incremental_update; er_labels <-
+    # er_block_metrics; kb_pipeline <- {kb_enrichment, kb_link_metrics};
+    # drops (generic sanity, no §2 mapping): top_customers,
+    # embedding_label_counts — and the flagship ER/ANN oracles now come
+    # first so every row lands inside the driver's hard signal.
     return {
+        # --- the ER pipeline itself ---
+        "er_clusters": q_er_clusters,
+        "er_mentions": q_er_mentions,
+        "er_labels": q_er_labels,
+        "er_edges_exact": q_er_edges_exact,
+        "pair_scores_cached": q_pair_scores_cached,
+        "session_overlap": q_session_overlap,
+        "triple_hubs": q_triple_hubs,
+        "er_incremental": q_er_incremental,
+        "er_resume": q_er_resume,
+        # --- KB linking ---
+        "kb_pipeline": q_kb_pipeline,
+        "kb_linking": q_kb_linking,
+        "kb_linking_ctx": q_kb_linking_ctx,
+        "kb_linking_cached": q_kb_linking_cached,
+        # --- dedup / similarity ---
+        "minhash_dedup_pairs": q_minhash_dedup_pairs,
+        "minhash_dedup_groups": q_minhash_dedup_groups,
+        "simhash_dedup": q_simhash_dedup,
+        "ngram_bucket_dedup": q_ngram_bucket_dedup,
+        "exact_dedup": q_exact_dedup,
+        "embedding_neardup": q_embedding_neardup,
+        "ann_topk": q_ann_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        # --- text / multimodal ---
+        "text_features": q_text_features,
+        "lang_stats": q_lang_stats,
+        "media_features": q_media_features,
+        # --- graph query templates ---
         "hub_entities": q_hub_entities,
         "cooccurrence": q_cooccurrence,
         "cross_source_overlap": q_cross_source_overlap,
         "min_sessions_filter": q_min_sessions_filter,
         "platform_counts": q_platform_counts,
-        "lang_stats": q_lang_stats,
-        "token_count": q_token_count,
-        "quality_score": q_quality_score,
-        "fingerprint": q_fingerprint,
-        "exact_dedup": q_exact_dedup,
-        "ngram_bucket_dedup": q_ngram_bucket_dedup,
-        "turn_ordering": q_turn_ordering,
-        "prev_event": q_prev_event,
-        "session_bounds": q_session_bounds,
-        "sessionization": q_sessionization,
-        "event_type_rollup": q_event_type_rollup,
-        "top_customers": q_top_customers,
-        "pricing_summary": q_pricing_summary,
-        "ann_topk": q_ann_topk,
-        "embedding_label_counts": q_embedding_label_counts,
+        "models_seen": q_models_seen,
         "predicate_search": q_predicate_search,
         "entity_to_entity": q_entity_to_entity,
         "path_discovery": q_path_discovery,
         "sibling_entities": q_sibling_entities,
         "topic_search": q_topic_search,
-        "kb_linking": q_kb_linking,
-        "kb_linking_ctx": q_kb_linking_ctx,
-        "kb_enrichment": q_kb_enrichment,
-        "models_seen": q_models_seen,
-        "kb_link_metrics": q_kb_link_metrics,
-        "er_labels": q_er_labels,
-        "er_edges_exact": q_er_edges_exact,
-        "minhash_dedup_pairs": q_minhash_dedup_pairs,
-        "simhash_dedup": q_simhash_dedup,
-        "embedding_neardup": q_embedding_neardup,
-        "media_features": q_media_features,
-        "er_incremental": q_er_incremental,
+        # --- windows / events ---
+        "turn_ordering": q_turn_ordering,
+        "prev_event": q_prev_event,
+        "sessionization": q_sessionization,
+        "event_type_rollup": q_event_type_rollup,
+        "pricing_summary": q_pricing_summary,
+        # --- readers / sinks / streaming ---
         "claude_jsonl_scan": q_claude_jsonl_scan,
         "warp_sqlite_scan": q_warp_sqlite_scan,
         "deepseek_zip_scan": q_deepseek_zip_scan,
         "grok_json_scan": q_grok_json_scan,
-        "turtle_roundtrip": q_turtle_roundtrip,
         "tool_events_scan": q_tool_events_scan,
         "message_parents_scan": q_message_parents_scan,
-        "pair_scores_cached": q_pair_scores_cached,
+        "turtle_roundtrip": q_turtle_roundtrip,
         "serving_table_sink": q_serving_table_sink,
-        "er_resume": q_er_resume,
         "streaming_state": q_streaming_state,
-        "er_incremental_update": q_er_incremental_update,
-        "kb_linking_cached": q_kb_linking_cached,
-        "er_block_metrics": q_er_block_metrics,
-        "session_overlap": q_session_overlap,
-        "er_clusters": q_er_clusters,
-        "er_mentions": q_er_mentions,
-        "triple_hubs": q_triple_hubs,
-        "minhash_dedup_groups": q_minhash_dedup_groups,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "lang_id": q_lang_id,
-        "quality_features": q_quality_features,
     }
 
 
@@ -2394,19 +2387,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_stats": """
             SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
             FROM documents GROUP BY lang ORDER BY lang""",
-        "token_count": """
-            SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
-            FROM documents""",
-        "quality_score": """
-            WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
-                       FROM documents)
-            SELECT doc_id, count(*) AS n_tokens,
-                   round(avg(len(token)), 4) AS avg_token_len,
-                   round(sum(CASE WHEN token IN ('the','a') THEN 1 ELSE 0 END)
-                         * 1.0 / count(*), 4) AS stopword_ratio
-            FROM t GROUP BY doc_id""",
-        "fingerprint": """
-            SELECT doc_id, md5(substring(text, 1, 64)) AS fp FROM documents""",
+        "text_features": _text_features_oracle(),
         "exact_dedup": """
             SELECT md5(text) AS text_hash, count(*) AS n_dups,
                    min(doc_id) AS canonical_doc
@@ -2429,13 +2410,9 @@ def oracle_sql() -> dict[str, str]:
                        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        AS prev_type
                 FROM events) WHERE prev_type IS NOT NULL""",
-        "session_bounds": """
-            SELECT user_id, min(ts) AS created, max(ts) AS modified,
-                   count(*) AS n_events
-            FROM events GROUP BY user_id ORDER BY user_id""",
         "sessionization": """
             WITH g AS (
-                SELECT user_id,
+                SELECT user_id, ts,
                        CASE WHEN prev_ts IS NULL
                                  OR date_diff('second', prev_ts, ts) > 1800
                             THEN 1 ELSE 0 END AS new_sess
@@ -2443,17 +2420,13 @@ def oracle_sql() -> dict[str, str]:
                              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                              AS prev_ts
                       FROM events))
-            SELECT user_id, sum(new_sess)::BIGINT AS n_sessions
+            SELECT user_id, min(ts) AS created, max(ts) AS modified,
+                   count(*) AS n_events, sum(new_sess)::BIGINT AS n_sessions
             FROM g GROUP BY user_id ORDER BY user_id""",
         "event_type_rollup": """
             SELECT event_type, count(*) AS n_events,
                    round(sum(value), 3) AS total_value
             FROM events GROUP BY event_type ORDER BY event_type""",
-        "top_customers": """
-            SELECT c_name, round(sum(o_totalprice), 2) AS revenue,
-                   count(*) AS n_orders
-            FROM orders JOIN customer ON o_custkey = c_custkey
-            GROUP BY c_name ORDER BY revenue DESC, c_name LIMIT 10""",
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
                    round(sum(l_extendedprice), 2) AS sum_price,
@@ -2473,9 +2446,6 @@ def oracle_sql() -> dict[str, str]:
                        FROM j)
             SELECT query_id, vec_id, rank, round(cos, 6) AS cosine
             FROM r WHERE rank <= 10""",
-        "embedding_label_counts": """
-            SELECT label, count(*) AS n_vecs FROM embeddings
-            GROUP BY label ORDER BY label""",
         "predicate_search": f"""
             SELECT DISTINCT subject, object FROM {_TRIPLES_SQL}
             WHERE predicate = 'uses'
@@ -2522,9 +2492,8 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id""",
         "kb_linking": _kb_linking_oracle(),
         "kb_linking_ctx": _kb_linking_ctx_oracle(),
-        "kb_enrichment": _kb_enrichment_oracle(),
+        "kb_pipeline": _kb_pipeline_oracle(),
         "models_seen": _models_seen_oracle(),
-        "kb_link_metrics": _kb_link_metrics_oracle(),
         "er_labels": _er_labels_oracle(),
         "er_clusters": _er_clusters_oracle(),
         "er_edges_exact": _er_edges_exact_oracle(),
@@ -2543,9 +2512,7 @@ def oracle_sql() -> dict[str, str]:
         "message_parents_scan": _message_parents_scan_oracle(),
         "pair_scores_cached": _pair_scores_cached_oracle(),
         "er_resume": _er_resume_oracle(),
-        "er_incremental_update": _er_incremental_update_oracle(),
         "kb_linking_cached": _kb_linking_cached_oracle(),
-        "er_block_metrics": _er_block_metrics_oracle(),
         "session_overlap": _session_overlap_oracle(),
         "streaming_state": """
             SELECT source AS conv_id, count(*)::BIGINT AS n_turns,
@@ -2577,8 +2544,6 @@ def oracle_sql() -> dict[str, str]:
                        FROM d a JOIN d b ON a.doc_id < b.doc_id)
             SELECT id_a, id_b, round(j, 6) AS jaccard
             FROM p WHERE j >= 0.8 ORDER BY id_a, id_b""",
-        "lang_id": _lang_id_oracle(),
-        "quality_features": _quality_features_oracle(),
         "er_mentions": _er_mentions_oracle(),
         "triple_hubs": _triple_hubs_oracle(),
         "minhash_dedup_groups": """

@@ -122,7 +122,7 @@ def main() -> None:
 
     # representative query-layer / testdata queries
     for q in ["hub_entities", "cooccurrence", "ann_topk", "sessionization",
-              "pricing_summary", "quality_score"]:
+              "pricing_summary", "text_features"]:
         fn = E.queries()[q]
         timed(q, lambda fn=fn: fn(spark, sf_dir).collect())
 

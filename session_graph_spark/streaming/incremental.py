@@ -40,11 +40,19 @@ class IncrementalRunner:
     (link_entities.py --min-sessions)."""
 
     def __init__(self, spark: SparkSession, state_dir: str, min_sessions: int = 1,
-                 resolve_fn=None):
+                 resolve_fn=None, n_parts: int = 16):
         self.spark = spark
         self.state_dir = Path(state_dir)
         self.state_dir.mkdir(parents=True, exist_ok=True)
         self.min_sessions = min_sessions
+        # state tables (clusters / watermarks / quarantine) are hash-
+        # partitioned by conv_id into n_parts buckets so a batch rewrites
+        # only the partitions it touches — per-batch write cost is
+        # O(batch + touched partitions), never O(total history). Size
+        # n_parts so one partition's rows fit an executor comfortably
+        # (at 10^12 turns: thousands, not 16 — it only changes the
+        # directory fan-out, not the plan shape)
+        self.n_parts = n_parts
         # injectable for fault-handling tests; production default is the
         # real pipeline
         self._resolve = resolve_fn or (
@@ -63,16 +71,37 @@ class IncrementalRunner:
     def _dlq_path(self) -> str:
         return str(self.state_dir / "quarantine")
 
+    _STATE_SCHEMAS = {
+        "processed_watermarks": "conv_id string, content_hash string",
+        "clusters": "conv_id string, canon_label string, cluster_id string",
+        "quarantine": "conv_id string, content_hash string, error string",
+    }
+
+    def _read_state(self, path: str) -> DataFrame | None:
+        """Read a partitioned state table, hiding the internal hash-
+        bucket column from callers. A table whose last rows were merged
+        away (e.g. a fully-healed quarantine) has no parquet files left
+        to infer a schema from — return a typed empty DataFrame, not an
+        error."""
+        p = Path(path)
+        if not p.exists():
+            return None
+        if not any(p.rglob("*.parquet")):
+            return self.spark.createDataFrame([], self._STATE_SCHEMAS[p.name])
+        df = self.spark.read.parquet(path)
+        return df.drop("part") if "part" in df.columns else df
+
     def processed(self) -> DataFrame | None:
-        if Path(self._wm_path).exists():
-            return self.spark.read.parquet(self._wm_path)
-        return None
+        return self._read_state(self._wm_path)
 
     def quarantined(self) -> DataFrame | None:
         """The dead-letter table: (conv_id, content_hash, error)."""
-        if Path(self._dlq_path).exists():
-            return self.spark.read.parquet(self._dlq_path)
-        return None
+        return self._read_state(self._dlq_path)
+
+    def clusters(self) -> DataFrame | None:
+        """The merged clusters state table: (conv_id, canon_label,
+        cluster_id)."""
+        return self._read_state(self._clusters_path)
 
     def run(self, turns: DataFrame) -> DataFrame:
         """Process new/changed conversations; returns this batch's
@@ -98,15 +127,23 @@ class IncrementalRunner:
         batch_turns = turns.join(F.broadcast(todo.select("conv_id")), "conv_id", "left_semi")
         try:
             res = self._resolve(batch_turns)
+            # sever lineage BEFORE updating the watermark table: the
+            # returned DataFrame's plan must not re-read a parquet path
+            # this method is about to overwrite (the overwrite
+            # invalidates dependent caches and a later action would
+            # re-plan against the new watermarks). The eager checkpoint
+            # ALSO runs inside the quarantine guard: a poison
+            # conversation whose failure only surfaces at this action
+            # (lazy plans, cache-evicted recompute of the extraction
+            # UDF) must still bisect into the DLQ, not fail the batch
+            out = res.mention_clusters.select(
+                "conv_id", "canon_label", "cluster_id"
+            ).localCheckpoint(eager=True)
         except Exception:  # noqa: BLE001 - isolate the poison conversations
-            return self._run_with_quarantine(turns, wm, todo)
-        # sever lineage BEFORE updating the watermark table: the returned
-        # DataFrame's plan must not re-read a parquet path this method is
-        # about to overwrite (the overwrite invalidates dependent caches
-        # and a later action would re-plan against the new watermarks)
-        out = res.mention_clusters.select(
-            "conv_id", "canon_label", "cluster_id"
-        ).localCheckpoint(eager=True)
+            out = self._run_with_quarantine(turns, todo)
+            wm.unpersist()
+            todo.unpersist()
+            return out
         # lineage is severed: drop this batch's cached stages so a
         # long-running service doesn't accumulate one cache set per batch
         res.unpersist()
@@ -114,117 +151,176 @@ class IncrementalRunner:
         # old assignment rows must be replaced or readers of the clusters
         # table see stale duplicates forever
         self._merge_overwrite(self._clusters_path, out, todo.select("conv_id"))
-        # watermark merge must keep the NEW hash for changed conv_ids —
-        # unionByName+dropDuplicates keeps an arbitrary row, which can
-        # resurrect the stale hash and re-process the conversation forever
         # a conversation that processed cleanly leaves the dead-letter
         # table (its content changed since it was quarantined). This MUST
-        # run before the watermark overwrite below: todo's cached plan
-        # reads the watermark table, and overwriting it invalidates the
-        # cache, after which todo would recompute as empty
-        dlq = self.quarantined()
-        if dlq is not None:
-            self._atomic_overwrite(
+        # run before the watermark merge below: todo's cached plan reads
+        # the watermark table, and rewriting it must not race todo's
+        # recompute if the cache is ever evicted
+        if self.quarantined() is not None:
+            self._merge_overwrite(
                 self._dlq_path,
-                dlq.join(todo.select("conv_id"), "conv_id", "left_anti"),
+                self.spark.createDataFrame(
+                    [], "conv_id string, content_hash string, error string"
+                ),
+                todo.select("conv_id"),
             )
-        new_wm = wm if prev is None else (
-            prev.join(todo.select("conv_id"), "conv_id", "left_anti").unionByName(todo)
-        )
-        self._atomic_overwrite(self._wm_path, new_wm)
+        # watermark merge keeps the NEW hash for changed conv_ids: the
+        # partition-scoped MERGE replaces exactly the todo conversations'
+        # rows and leaves every other partition's files untouched
+        self._merge_overwrite(self._wm_path, todo, todo.select("conv_id"))
+        # per-batch cache hygiene (long-running service): this batch's
+        # wm/todo caches are dead weight once the state tables are merged
+        wm.unpersist()
+        todo.unpersist()
         return out
 
-    def _run_with_quarantine(self, turns: DataFrame, wm: DataFrame,
+    def _run_with_quarantine(self, turns: DataFrame,
                              todo: DataFrame) -> DataFrame:
         """ST2 failure isolation: bisect the failing batch down to the
-        poison conversations. Healthy conversations commit exactly as the
-        happy path would; poison ones land in the quarantine table with
-        their error, get watermarked (so they are NOT retried until their
+        poison conversations, then re-resolve ALL healthy conversations
+        together in one final pass — so labels that co-cluster across
+        bisection halves (typo variants spanning conversations) get
+        exactly the cluster ids the happy path would have produced.
+        Poison conversations land in the quarantine table with their
+        error, get watermarked (so they are NOT retried until their
         content changes), and their stale cluster rows are dropped rather
         than left to serve outdated content. Driver-side recursion only
         runs on the failure path and is bounded by the batch's
-        conversation count."""
+        conversation count; the bisection probes discard their outputs
+        (they exist only to locate the poison)."""
         conv_ids = sorted(
             r["conv_id"] for r in todo.select("conv_id").distinct().collect()
         )
-        good_parts: list[DataFrame] = []
         bad: list[tuple[str, str]] = []
 
-        def process(ids: list[str]) -> None:
-            subset = turns.join(
+        def subset_of(ids: list[str]) -> DataFrame:
+            return turns.join(
                 F.broadcast(self.spark.createDataFrame(
                     [(c,) for c in ids], "conv_id string"
                 )),
                 "conv_id", "left_semi",
             )
+
+        def probe(ids: list[str]) -> None:
             try:
-                res = self._resolve(subset)
-                out = res.mention_clusters.select(
+                res = self._resolve(subset_of(ids))
+                # force execution so lazily-surfacing failures count
+                res.mention_clusters.select(
                     "conv_id", "canon_label", "cluster_id"
                 ).localCheckpoint(eager=True)
                 res.unpersist()
-                good_parts.append(out)
             except Exception as exc:  # noqa: BLE001
                 if len(ids) == 1:
                     bad.append((ids[0], str(exc)[:500]))
                 else:
                     mid = len(ids) // 2
-                    process(ids[:mid])
-                    process(ids[mid:])
+                    probe(ids[:mid])
+                    probe(ids[mid:])
 
-        process(conv_ids)
+        probe(conv_ids)
 
-        out = self.spark.createDataFrame(
-            [], "conv_id string, canon_label string, cluster_id string"
-        )
-        for p in good_parts:
-            out = out.unionByName(p)
+        healthy = [c for c in conv_ids if c not in {b for b, _ in bad}]
+        if healthy:
+            # one combined resolve over every healthy conversation: the
+            # committed assignment is identical to a batch that never
+            # contained the poison conversations
+            res = self._resolve(subset_of(healthy))
+            out = res.mention_clusters.select(
+                "conv_id", "canon_label", "cluster_id"
+            ).localCheckpoint(eager=True)
+            res.unpersist()
+        else:
+            out = self.spark.createDataFrame(
+                [], "conv_id string, canon_label string, cluster_id string"
+            )
         # replaced set = ALL todo convs: healthy ones get fresh rows,
         # poison ones get their stale rows dropped
         self._merge_overwrite(self._clusters_path, out, todo.select("conv_id"))
 
-        # dead-letter table: (old minus this batch's convs) + the fresh
-        # poison rows, carrying the content hash that failed
+        # dead-letter MERGE: replace this batch's convs' rows with the
+        # fresh poison rows (healthy convs leave the DLQ, poison ones
+        # carry the content hash that failed)
         add = self.spark.createDataFrame(
             bad, "conv_id string, error string"
         ).join(todo.select("conv_id", "content_hash"), "conv_id").select(
             "conv_id", "content_hash", "error"
         )
-        old_dlq = self.quarantined()
-        new_dlq = add if old_dlq is None else (
-            old_dlq.join(todo.select("conv_id"), "conv_id", "left_anti")
-            .unionByName(add)
-        )
-        self._atomic_overwrite(self._dlq_path, new_dlq)
+        self._merge_overwrite(self._dlq_path, add, todo.select("conv_id"))
 
         # watermark EVERY todo conv (incl. poison): quarantined content is
         # not retried until the conversation's hash changes
-        prev = self.processed()
-        new_wm = wm if prev is None else (
-            prev.join(todo.select("conv_id"), "conv_id", "left_anti").unionByName(todo)
-        )
-        self._atomic_overwrite(self._wm_path, new_wm)
+        self._merge_overwrite(self._wm_path, todo, todo.select("conv_id"))
         return out
 
-    def _atomic_overwrite(self, path: str, df: DataFrame) -> None:
-        """Overwrite a parquet table whose current contents may feed the
-        plan being written: stage through .tmp, then rewrite."""
-        df.write.mode("overwrite").parquet(path + ".tmp")
-        self.spark.read.parquet(path + ".tmp").write.mode("overwrite").parquet(path)
+    def _with_part(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "part", F.pmod(F.xxhash64("conv_id"), F.lit(self.n_parts))
+        )
+
+    def _parts_of(self, convs: DataFrame) -> list[int]:
+        return sorted(
+            r["part"]
+            for r in self._with_part(convs.select("conv_id").distinct())
+            .select("part").distinct().collect()
+        )
 
     def _merge_overwrite(self, path: str, new_rows: DataFrame,
                          replaced_convs: DataFrame) -> None:
-        """Upsert semantics over a parquet table keyed by conv_id (the
-        Iceberg MERGE INTO analog): drop existing rows for the replaced
-        conversations, union the new rows."""
-        if Path(path).exists():
-            existing = self.spark.read.parquet(path)
-            merged = existing.join(
-                F.broadcast(replaced_convs), "conv_id", "left_anti"
-            ).unionByName(new_rows)
-            self._atomic_overwrite(path, merged)
-        else:
-            new_rows.write.mode("overwrite").parquet(path)
+        """Partition-scoped upsert over a conv_id-keyed state table (the
+        Iceberg MERGE INTO analog): state tables are hash-partitioned by
+        pmod(xxhash64(conv_id), n_parts); a merge reads and rewrites ONLY
+        the partitions containing replaced conversations (partition-
+        pruned scan + per-partition swap), so each batch costs
+        O(batch + touched partitions) — never a full-table rewrite."""
+        if not Path(path).exists() or not any(Path(path).rglob("*.parquet")):
+            self._with_part(new_rows).write.partitionBy("part") \
+                .mode("overwrite").parquet(path)
+            self.spark.catalog.refreshByPath(path)
+            return
+        parts = self._parts_of(replaced_convs)
+        if not parts:
+            return
+        existing = self.spark.read.parquet(path)
+        kept = (
+            existing.where(F.col("part").isin([int(p) for p in parts]))
+            .drop("part")
+            .join(F.broadcast(replaced_convs), "conv_id", "left_anti")
+        )
+        merged = self._with_part(kept.unionByName(new_rows))
+        self._overwrite_partitions(path, merged, parts)
+
+    def _overwrite_partitions(self, path: str, df: DataFrame,
+                              parts: list[int]) -> None:
+        """Dynamic-partition-overwrite with the empty-partition case
+        handled (Spark's dynamic mode leaves a partition's old files in
+        place when the new data has no rows for it — wrong for a MERGE
+        that deletes a partition's last rows): stage the touched
+        partitions to a sibling directory, then swap each partition
+        directory in. NOT crash-atomic across partitions — a failure
+        mid-swap leaves some partitions new and some old (each single
+        swap is an rm + rename). Iceberg's metadata-pointer commit is the
+        production fix; this sandbox has no Iceberg runtime jar
+        (BASELINE.md), and the analog assumes a local-filesystem state
+        store (the only kind this sandbox has)."""
+        import shutil
+
+        staging = path + ".staging"
+        df.write.partitionBy("part").mode("overwrite").parquet(staging)
+        for p in parts:
+            dst = Path(path) / f"part={p}"
+            src = Path(staging) / f"part={p}"
+            if dst.exists():
+                shutil.rmtree(dst)
+            if src.exists():
+                src.rename(dst)
+        shutil.rmtree(staging, ignore_errors=True)
+        # the swap happened at filesystem level, invisible to Spark: a
+        # Spark-level overwrite would have invalidated cached plans that
+        # scan this path (CacheManager.recacheByPath), the rename does
+        # not — without this refresh, the NEXT batch's todo anti-join is
+        # served from the PREVIOUS batch's cached plan and re-processes
+        # the same conversations forever
+        self.spark.catalog.refreshByPath(path)
 
 
 def stream_turns(spark: SparkSession, input_dir: str, schema: str,

@@ -319,7 +319,7 @@ def test_incremental_changed_conversation(spark, tmp_path):
     state = str(tmp_path / "state")
     runner = IncrementalRunner(spark, state)
     runner.run(turns1)
-    clusters1 = spark.read.parquet(state + "/clusters")
+    clusters1 = runner.clusters()
     changed_conv = clusters1.first()["conv_id"]
     # materialize now: the parquet path is overwritten by the next run
     n_other_rows = clusters1.where(F.col("conv_id") != changed_conv).count()
@@ -336,7 +336,7 @@ def test_incremental_changed_conversation(spark, tmp_path):
 
     # merged table: the changed conversation's rows are exactly this
     # batch's output — old assignment rows replaced, not appended next to
-    merged = spark.read.parquet(state + "/clusters")
+    merged = runner.clusters()
     got = sorted(map(tuple, merged.where(F.col("conv_id") == changed_conv).collect()))
     want = sorted(map(tuple, out2.collect()))
     assert got == want
@@ -346,6 +346,79 @@ def test_incremental_changed_conversation(spark, tmp_path):
     # third run on identical input: watermark kept the NEW hash -> no work
     out3 = runner.run(turns2)
     assert out3.count() == 0
+
+
+def test_incremental_merge_rewrites_only_touched_partitions(spark, tmp_path):
+    """The partition-scoped MERGE contract: state tables are hash-
+    partitioned by conv_id, and a batch that changes one conversation
+    rewrites ONLY the partitions containing it — every other partition's
+    files stay byte-identical (same inode, same mtime), so per-batch
+    write cost is O(batch + touched partitions), not O(total history)."""
+    import os
+
+    from session_graph_spark import corpus
+    from session_graph_spark.streaming.incremental import IncrementalRunner
+
+    turns1 = corpus.generate_turns(spark, n_convs=8, seed=42).cache()
+    state = str(tmp_path / "state")
+    runner = IncrementalRunner(spark, state, n_parts=8)
+    runner.run(turns1)
+
+    def snapshot(table):
+        root = tmp_path / "state" / table
+        files = {}
+        for dirpath, _, names in os.walk(root):
+            for n in names:
+                p = os.path.join(dirpath, n)
+                st = os.stat(p)
+                files[os.path.relpath(p, root)] = (st.st_ino, st.st_mtime_ns,
+                                                   st.st_size)
+        return files
+
+    before_clusters = snapshot("clusters")
+    before_wm = snapshot("processed_watermarks")
+
+    changed_conv = sorted(
+        r[0] for r in turns1.select("conv_id").distinct().collect()
+    )[0]
+    touched_part = (
+        turns1.select(
+            F.pmod(F.xxhash64("conv_id"), F.lit(8)).alias("part")
+        ).where(F.col("conv_id") == changed_conv).first()["part"]
+    )
+    turns2 = turns1.withColumn(
+        "text",
+        F.when(F.col("conv_id") == changed_conv,
+               F.concat(F.col("text"), F.lit(" plus flink and beam changes")))
+        .otherwise(F.col("text")),
+    )
+    out2 = runner.run(turns2)
+    assert {r[0] for r in out2.select("conv_id").distinct().collect()} == {changed_conv}
+
+    for table, before in [("clusters", before_clusters),
+                          ("processed_watermarks", before_wm)]:
+        after = snapshot(table)
+        untouched_before = {k: v for k, v in before.items()
+                            if f"part={touched_part}/" not in k}
+        untouched_after = {k: v for k, v in after.items()
+                          if f"part={touched_part}/" not in k}
+        # untouched partitions: identical file set, same inode + mtime
+        assert untouched_before == untouched_after, table
+        # the touched partition WAS rewritten
+        touched_after = {k for k in after if f"part={touched_part}/" in k
+                         and k.endswith(".parquet")}
+        touched_before_keys = {k: before[k] for k in before
+                               if f"part={touched_part}/" in k}
+        assert touched_after, table
+        assert all(before.get(k) != after.get(k)
+                   for k in touched_after) or touched_before_keys.keys() != touched_after, table
+
+    # the merged table is still correct: changed conv's rows replaced
+    merged = runner.clusters()
+    got = sorted(map(tuple, merged.where(F.col("conv_id") == changed_conv).collect()))
+    want = sorted(map(tuple, out2.collect()))
+    assert got == want
+    turns1.unpersist()
 
 
 def test_stateful_conversation_stream(spark, tmp_path):
