@@ -1583,11 +1583,98 @@ def trigram_list_sql(c: str) -> str:
     )
 
 
-def _score_cc_cte(labels_rel: str) -> str:
+def _score_cc_cte(labels_rel: str, ctx_src: str | None = "derive") -> str:
     """Blocking + kernel scoring + transitive-closure CTE chain over a
     relation with (canon_label, block_key) columns; defines `grp(label,
     cluster_id)`. Shared by the er_clusters oracle and the pytest that
-    replays it over the typo-planted corpus (where merges DO happen)."""
+    replays it over the typo-planted corpus (where merges DO happen).
+
+    ctx_src controls the surrounding-turn-context bonus the pipeline
+    applies since round 4 — BAND-GATED: for kernel scores in
+    [threshold - CTX_WEIGHT, threshold), score = min(kernel + CTX_WEIGHT
+    * jaccard(top-5 co-mention vectors), 1.0); other scores stay the pure
+    kernel (an additive bonus cannot flip decisions outside the band, so
+    the gate is exact). Context vectors mirror _mention_context: content
+    restricted to the surviving label set, coverage to the band labels,
+    evidence to a deterministic hash-spread sample of
+    CTX_EVIDENCE_TURNS turns per band label (ordered by md5(conv|turn),
+    identical in Spark and DuckDB).
+      - "derive" (default): build canonicalized mentions from the
+        `mentions` + `al` CTEs in scope (the driver oracle chains);
+      - any other string: name of a relation already carrying
+        (conv_id, turn_idx, canon_label) — used by the pytest replay;
+      - None: string kernel only (use_context=False)."""
+    from session_graph_spark.functions.similarity import (CTX_EVIDENCE_TURNS,
+                                                          CTX_WEIGHT,
+                                                          MATCH_THRESHOLD)
+
+    band_lo = MATCH_THRESHOLD - CTX_WEIGHT  # same Python float as Spark's lit
+    ctx_turns = CTX_EVIDENCE_TURNS
+
+    if ctx_src is None:
+        ctx_ctes = ""
+        scored_cte = f"""
+        scored AS MATERIALIZED (
+          SELECT label_a, label_b,
+            {kernel_score_sql('label_a', 'label_b')} AS score
+          FROM g),"""
+    else:
+        base = (
+            """(SELECT conv_id, turn_idx,
+                       coalesce(al.canonical, mentions.norm_label) AS canon_label
+                FROM mentions LEFT JOIN al ON mentions.norm_label = al.surface)"""
+            if ctx_src == "derive" else ctx_src
+        )
+        # sc_m0: co-occurrence content restricted to the surviving label
+        # set; sc_bm/sc_sam: a hash-spread sample of CTX_EVIDENCE_TURNS
+        # turns per band label — mirrors pipeline._mention_context exactly
+        ctx_ctes = f"""
+        sc_m0 AS MATERIALIZED (SELECT DISTINCT m0.conv_id, m0.turn_idx, m0.canon_label
+                  FROM {base} m0
+                  JOIN (SELECT DISTINCT canon_label FROM {labels_rel}) sl
+                    USING (canon_label)),
+        sc_k AS MATERIALIZED (SELECT label_a, label_b,
+                        {kernel_score_sql('label_a', 'label_b')} AS k
+                 FROM g),
+        sc_bl AS (SELECT DISTINCT canon_label FROM (
+                    SELECT label_a AS canon_label FROM sc_k
+                    WHERE k >= {band_lo!r} AND k < 0.7
+                    UNION ALL
+                    SELECT label_b FROM sc_k
+                    WHERE k >= {band_lo!r} AND k < 0.7)),
+        sc_bm AS MATERIALIZED (
+          SELECT canon_label, conv_id, turn_idx,
+                 row_number() OVER (PARTITION BY canon_label
+                                    ORDER BY md5(conv_id || '|' || turn_idx::VARCHAR),
+                                             conv_id, turn_idx) AS rk
+          FROM (SELECT DISTINCT sc_m0.canon_label, sc_m0.conv_id, sc_m0.turn_idx
+                FROM sc_m0 JOIN sc_bl USING (canon_label))),
+        sc_sam AS MATERIALIZED (
+          SELECT canon_label AS band_label, conv_id, turn_idx
+          FROM sc_bm WHERE rk <= {ctx_turns}),
+        sc_co AS MATERIALIZED (
+          SELECT s.band_label AS label, m.canon_label AS ctx_tok,
+                 count(*) AS n
+          FROM sc_sam s JOIN sc_m0 m USING (conv_id, turn_idx)
+          WHERE m.canon_label != s.band_label GROUP BY 1, 2),
+        sc_top AS (SELECT label, ctx_tok FROM (
+                     SELECT label, ctx_tok,
+                            row_number() OVER (PARTITION BY label
+                                               ORDER BY n DESC, ctx_tok) AS rk
+                     FROM sc_co) WHERE rk <= 5),
+        sc_ctx AS MATERIALIZED (SELECT label, list_sort(list(ctx_tok)) AS ctx
+                   FROM sc_top GROUP BY label),"""
+        scored_cte = f"""
+        scored AS MATERIALIZED (
+          SELECT label_a, label_b,
+            CASE WHEN k >= {band_lo!r} AND k < 0.7
+                 THEN least(k + {CTX_WEIGHT!r} * coalesce(
+                        len(list_intersect(sca.ctx, scb.ctx)) * 1.0
+                        / len(list_distinct(list_concat(sca.ctx, scb.ctx))),
+                        0.0), 1.0)
+                 ELSE k END AS score
+          FROM sc_k LEFT JOIN sc_ctx sca ON sc_k.label_a = sca.label
+                    LEFT JOIN sc_ctx scb ON sc_k.label_b = scb.label),"""
     return f"""
         lab AS (SELECT DISTINCT canon_label, block_key FROM {labels_rel}),
         exact AS (
@@ -1601,17 +1688,13 @@ def _score_cc_cte(labels_rel: str) -> str:
                 <= greatest(length(a.canon_label), length(b.canon_label)) * 0.34),
         cand AS (SELECT DISTINCT label_a, label_b
                  FROM (SELECT * FROM exact UNION ALL SELECT * FROM fuzzy)),
-        g AS (
+        g AS MATERIALIZED (
           SELECT label_a, label_b,
                  {trigram_list_sql('label_a')} AS ta,
                  {trigram_list_sql('label_b')} AS tb
-          FROM cand),
-        scored AS (
-          SELECT label_a, label_b,
-            {kernel_score_sql('label_a', 'label_b')} AS score
-          FROM g),
-        p AS (SELECT label_a, label_b FROM scored WHERE score >= 0.7),
-        e AS (SELECT label_a AS u, label_b AS v FROM p
+          FROM cand),{ctx_ctes}{scored_cte}
+        p AS MATERIALIZED (SELECT label_a, label_b FROM scored WHERE score >= 0.7),
+        e AS MATERIALIZED (SELECT label_a AS u, label_b AS v FROM p
               UNION ALL SELECT label_b, label_a FROM p),
         reach(a, b) AS (
           SELECT u, v FROM e

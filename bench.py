@@ -126,6 +126,32 @@ def main() -> None:
         fn = E.queries()[q]
         timed(q, lambda fn=fn: fn(spark, sf_dir).collect())
 
+    # KB-link stage at two dimension sizes: the dim is broadcast, so link
+    # time must stay flat in KB size (450 curated vs 5k generated rows)
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from session_graph_spark.operators.linking import (KB_ENTRIES, KB_SCHEMA,
+                                                       kb_df, link_to_kb)
+
+    kb5k_path = os.path.join(tempfile.gettempdir(), "spark_graft_kb5k")
+    if not os.path.exists(os.path.join(kb5k_path, "_SUCCESS")):
+        rows = [(k, lbl, d, list(a)) for k, lbl, d, a in KB_ENTRIES]
+        rows += [(f"kb:9{i:04d}", f"extlib{i}",
+                  "synthetic library for distributed processing", [f"xl{i}"])
+                 for i in range(4550)]
+        spark.createDataFrame(rows, KB_SCHEMA).write.mode("overwrite") \
+            .parquet(kb5k_path)
+    doc_labels = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.explode(F.split("text", " ")).alias("label"))
+        .where(F.length("label") >= 3).distinct().cache()
+    )
+    doc_labels.count()
+    timed("kb_link_450", lambda: link_to_kb(doc_labels, kb_df(spark)).count())
+    timed("kb_link_5k",
+          lambda: link_to_kb(doc_labels, kb_df(spark, path=kb5k_path)).count())
+    doc_labels.unpersist()
+
     if tmp:
         shutil.rmtree(tmp, ignore_errors=True)
     total = round(sum(timings.values()), 3)

@@ -23,6 +23,23 @@ MATCH_THRESHOLD = 0.7
 W_JARO_WINKLER = 0.45
 W_LEVENSHTEIN = 0.35
 W_TRIGRAM_JACCARD = 0.20
+# surrounding-turn-context bonus (north star: score "mention strings and
+# surrounding turn context"): final = min(kernel + CTX_WEIGHT *
+# jaccard(top-5 co-mention context vectors), 1.0). Additive-only so string
+# matches never lose recall to missing context; sized so confusable
+# negatives (java/javascript base ~0.60, python/pytorch ~0.61) stay below
+# the 0.7 threshold even at perfect context agreement (F1 gate pins this).
+CTX_WEIGHT = 0.08
+# bounded evidence: a label's context vector aggregates a deterministic
+# HASH-SPREAD sample of CTX_EVIDENCE_TURNS of its turns (ordered by
+# md5(conv_id|turn_idx) — an unbiased spread over the label's whole turn
+# set, identical in Spark and DuckDB), not every occurrence — a hot label
+# ('not', 'apache spark') would otherwise drag the whole corpus into the
+# context aggregation. First-K sampling is NOT equivalent: early turns
+# are correlated (template blocks), which biased hot-word vectors toward
+# each other and flipped labeled negatives (F1 0.986); the hash spread
+# restores the full-context separation at bounded cost.
+CTX_EVIDENCE_TURNS = 100
 
 
 def jaro(a: str, b: str) -> float:

@@ -194,6 +194,27 @@ def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text",
     if max_bucket_docs is not None:
         banded = _cap_buckets(banded, ["band_idx", "band_key"], max_bucket_docs)
         cond = cond & (F.col("x.__salt") == F.col("y.__salt"))
+    else:
+        # full recall means unbounded O(bucket^2) pairs in one join key:
+        # surface the risk instead of silently eating it ('no silent
+        # caps' in reverse). Costs one extra pass over the signatures —
+        # acceptable for the oracle-exact variant; the capped scale path
+        # (minhash_lsh_dedup) never takes this branch
+        biggest = (
+            banded.groupBy("band_idx", "band_key").count()
+            .agg(F.max("count").alias("m")).first()["m"]
+        ) or 0
+        if biggest > MAX_BUCKET_DOCS:
+            import warnings
+
+            warnings.warn(
+                f"minhash_candidate_pairs: largest band bucket holds "
+                f"{biggest} docs (> {MAX_BUCKET_DOCS}); uncapped full-"
+                f"recall mode will emit O(n^2) pairs for it — pass "
+                f"max_bucket_docs or use minhash_lsh_dedup for skewed "
+                f"near-identical corpora",
+                stacklevel=2,
+            )
     return (
         banded.alias("x").join(banded.alias("y"), cond)
         .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))

@@ -58,7 +58,10 @@ TECH_KEYWORDS: tuple[str, ...] = (
 # scale. IMPORTANT invariants (the oracle SQL inlines these as VALUES):
 # no apostrophes anywhere; labels/aliases lowercase; for ambiguous labels
 # the default (context-free) winner must be the LOWEST kb_id, so non-tech
-# alternative senses always get HIGHER ids than their tech twin.
+# alternative senses always get HIGHER ids than their tech twin — with
+# ONE deliberate inversion: 'mercury' (deity kb:0051 < language kb:0209)
+# exercises the opposite re-rank direction, where the context-free pick
+# is the NON-tech sense and tech context evidence must flip it.
 KB_ENTRIES: tuple[tuple[str, str, str, tuple[str, ...]], ...] = (
     ("kb:0001", "python", "high-level programming language", ("py", "cpython")),
     ("kb:0002", "javascript", "programming language of the web", ("js", "ecmascript")),
@@ -274,7 +277,10 @@ KB_ENTRIES: tuple[tuple[str, str, str, tuple[str, ...]], ...] = (
     # Each shares an exact label with a LOWER-id tech entry, so the
     # context-free tie-break keeps today's winners; context evidence can
     # flip the choice (reference 7-case spot check,
-    # agentic_linker_langgraph.py:234-291).
+    # agentic_linker_langgraph.py:234-291). Exception in this block:
+    # kb:0209 'mercury' is the TECH sense and its twin kb:0051 (deity) has
+    # the lower id — the deliberate inverted case, so the suite covers
+    # both re-rank directions (tech->non-tech and non-tech->tech).
     ("kb:0204", "go", "abstract strategy board game from east asia", ("baduk",)),
     ("kb:0205", "python", "large constricting snake genus", ()),
     ("kb:0206", "java", "island of indonesia", ()),
@@ -531,11 +537,29 @@ KB_ENTRIES: tuple[tuple[str, str, str, tuple[str, ...]], ...] = (
 )
 
 
-def kb_df(spark: SparkSession) -> DataFrame:
-    """The gazetteer dimension as a DataFrame (broadcast-sized)."""
+KB_SCHEMA = "kb_id string, kb_label string, description string, aliases array<string>"
+
+
+def kb_df(spark: SparkSession, path: str | None = None) -> DataFrame:
+    """The gazetteer dimension as a DataFrame (broadcast-sized).
+
+    `path` (optional) loads an EXTERNAL KB dimension — a parquet table
+    with the KB_SCHEMA columns — so deployments bring real gazetteer
+    scale (the reference links against a 4,774-entity Wikidata slice,
+    README.md:52-53; a production dimension is millions of rows) without
+    code changes: every linker below broadcasts whatever dimension it is
+    handed, and link cost stays flat in KB size until the broadcast limit,
+    after which Spark falls back to a shuffle join on the same plan. With
+    no path the curated in-code 450-entry dimension is returned."""
+    if path is not None:
+        df = spark.read.parquet(path)
+        missing = {c for c in
+                   ("kb_id", "kb_label", "description", "aliases")} - set(df.columns)
+        if missing:
+            raise ValueError(f"external KB at {path} lacks columns {sorted(missing)}")
+        return df.select("kb_id", "kb_label", "description", "aliases")
     return spark.createDataFrame(
-        [(k, lbl, d, list(a)) for k, lbl, d, a in KB_ENTRIES],
-        "kb_id string, kb_label string, description string, aliases array<string>",
+        [(k, lbl, d, list(a)) for k, lbl, d, a in KB_ENTRIES], KB_SCHEMA
     )
 
 

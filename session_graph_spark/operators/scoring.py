@@ -18,17 +18,91 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from session_graph_spark.functions.similarity import MATCH_THRESHOLD, pair_score
+from session_graph_spark.functions.similarity import (CTX_WEIGHT, MATCH_THRESHOLD,
+                                                      pair_score)
 
 PAIR_KEY = ["label_a", "label_b"]
 
 
-def score_pairs(pairs: DataFrame, decisions: DataFrame | None = None) -> DataFrame:
+# the context bonus can only flip a match decision when the string kernel
+# lands in [CTX_BAND_LO, threshold) — an additive bonus of at most
+# CTX_WEIGHT cannot push anything below the band over the line, and pairs
+# at/above the threshold already match. Scores outside the band stay the
+# pure kernel value (bonus gated, not blended everywhere), which is what
+# makes band-restricted context computation EXACT, not approximate.
+CTX_BAND_LO = MATCH_THRESHOLD - CTX_WEIGHT
+
+
+def band_labels(scored: DataFrame) -> DataFrame:
+    """Distinct labels appearing in any borderline pair — the only labels
+    whose context vectors the bonus can consult."""
+    band = scored.where(
+        (F.col("score") >= F.lit(CTX_BAND_LO))
+        & (F.col("score") < F.lit(MATCH_THRESHOLD))
+    )
+    return (
+        band.select(F.col("label_a").alias("canon_label"))
+        .unionByName(band.select(F.col("label_b").alias("canon_label")))
+        .distinct()
+    )
+
+
+def apply_context_bonus(scored: DataFrame, context: DataFrame,
+                        ctx_weight: float = CTX_WEIGHT) -> DataFrame:
+    """Blend the surrounding-turn-context signal the north star calls for
+    into borderline pair scores: for kernel scores in [CTX_BAND_LO,
+    threshold), score = min(kernel + ctx_weight * jaccard(ctx_a, ctx_b),
+    1.0); all other scores pass through untouched. `context` is a
+    (canon_label, context array<string>) frame (entity_context output) —
+    it only needs rows for band labels. The Jaccard is a JVM column
+    (array_intersect/array_union over the two top-5 arrays); the Arrow
+    kernel stays string-only and bit-identical to DuckDB's."""
+    ca = context.select(F.col("canon_label").alias("label_a"),
+                        F.col("context").alias("__ctx_a"))
+    cb = context.select(F.col("canon_label").alias("label_b"),
+                        F.col("context").alias("__ctx_b"))
+    jacc = (
+        F.size(F.array_intersect("__ctx_a", "__ctx_b"))
+        / F.size(F.array_union("__ctx_a", "__ctx_b"))
+    )
+    in_band = (
+        (F.col("score") >= F.lit(CTX_BAND_LO))
+        & (F.col("score") < F.lit(MATCH_THRESHOLD))
+    )
+    return (
+        scored.join(F.broadcast(ca), "label_a", "left")
+        .join(F.broadcast(cb), "label_b", "left")
+        .withColumn(
+            "score",
+            F.when(
+                in_band,
+                F.least(
+                    F.col("score")
+                    + F.lit(ctx_weight) * F.coalesce(jacc, F.lit(0.0)),
+                    F.lit(1.0),
+                ),
+            ).otherwise(F.col("score")),
+        )
+        .drop("__ctx_a", "__ctx_b")
+    )
+
+
+def score_pairs(pairs: DataFrame, decisions: DataFrame | None = None,
+                context_builder=None,
+                ctx_weight: float = CTX_WEIGHT) -> DataFrame:
     """(label_a, label_b) candidates -> (label_a, label_b, score).
 
     `decisions` is the resume cache (same 3-column schema); cached pairs —
-    positive AND negative — are reused without rescoring.
-    """
+    positive AND negative — are reused without rescoring (so the bonus is
+    never applied twice: a cached decision already carries it).
+
+    `context_builder` (optional): callable(scored_fresh) -> (canon_label,
+    context) DataFrame. Called AFTER the kernel scores materialize so the
+    builder can restrict the expensive context derivation to the
+    borderline band (see band_labels); the returned vectors feed
+    apply_context_bonus. The fresh scores are eagerly localCheckpointed
+    first — the band query and the bonus join both scan them, and the
+    checkpoint also guarantees the Arrow kernel runs exactly once."""
     if decisions is not None:
         cached = decisions.join(pairs, PAIR_KEY, "left_semi")
         fresh = pairs.join(decisions, PAIR_KEY, "left_anti")
@@ -37,6 +111,11 @@ def score_pairs(pairs: DataFrame, decisions: DataFrame | None = None) -> DataFra
         fresh = pairs
 
     scored = fresh.withColumn("score", pair_score(F.col("label_a"), F.col("label_b")))
+    if context_builder is not None:
+        scored = scored.localCheckpoint(eager=True)
+        ctx = context_builder(scored)
+        if ctx is not None:  # None = empty band, nothing the bonus can flip
+            scored = apply_context_bonus(scored, ctx, ctx_weight)
     if cached is not None:
         scored = scored.unionByName(cached.select("label_a", "label_b", "score"))
     return scored

@@ -43,7 +43,18 @@ _CUE_RE = "(" + "|".join(sorted(CUE_PREDICATES, key=len, reverse=True)) + ")"
 
 def build_triples(mentions: DataFrame, turns: DataFrame) -> dict[str, DataFrame]:
     """mentions (conv_id, turn_idx, canon_label, pos, ts) + turns (for the
-    text cue scan) -> {'edges', 'reified'} DataFrames."""
+    text cue scan) -> {'edges', 'reified'} DataFrames.
+
+    The predicate is chosen PER PAIR, not once per turn (the reference
+    picks a predicate per triple, triple_extraction.py:265-333, normalized
+    at :348-374): ALL cue matches in the turn are extracted in order
+    (regexp_extract_all) and pair i takes the i-th cue, clamped to the
+    last one — so 'X uses Y. Z solves W.' emits uses(X,Y) and
+    solves(Z,W), where the old single-extract applied 'uses' to both.
+    Mention pairs and cue occurrences both advance left-to-right through
+    the turn, so index alignment is the order-based stand-in for
+    'the cue between/nearest the pair' (mentions carry occurrence order,
+    not char offsets). Turns with no cue fall back to relatedTo."""
     m = mentions.select("conv_id", "turn_idx", "canon_label", "pos", "ts")
     nxt = m.select(
         "conv_id", "turn_idx",
@@ -53,23 +64,32 @@ def build_triples(mentions: DataFrame, turns: DataFrame) -> dict[str, DataFrame]
     pairs = (
         m.join(nxt, ["conv_id", "turn_idx", "pos"])
         .where(F.col("canon_label") != F.col("obj"))
-        .select("conv_id", "turn_idx", "ts",
+        .select("conv_id", "turn_idx", "ts", "pos",
                 F.col("canon_label").alias("subject"), F.col("obj").alias("object"))
     )
     cues = turns.select(
         "conv_id", "turn_idx",
-        F.regexp_extract(F.lower("text"), _CUE_RE, 1).alias("cue"),
+        F.regexp_extract_all(F.lower("text"), F.lit(_CUE_RE), F.lit(1))
+        .alias("cue_list"),
     )
     cue_map = F.create_map(
         *[F.lit(x) for kv in CUE_PREDICATES.items() for x in kv]
+    )
+    n_cues = F.size("cue_list")
+    pair_cue = F.when(
+        n_cues > 0,
+        F.element_at(
+            "cue_list",
+            F.least(F.col("pos") + 1, n_cues).cast("int"),
+        ),
     )
     with_pred = (
         pairs.join(cues, ["conv_id", "turn_idx"], "left")
         .withColumn(
             "predicate",
-            F.coalesce(cue_map[F.col("cue")], F.lit("relatedTo")),
+            F.coalesce(cue_map[pair_cue], F.lit("relatedTo")),
         )
-        .drop("cue")
+        .drop("cue_list", "pos")
     )
     reified = with_pred.withColumn(
         "triple_id",
@@ -83,15 +103,25 @@ def build_triples(mentions: DataFrame, turns: DataFrame) -> dict[str, DataFrame]
 def entity_context(mentions: DataFrame, max_terms: int = 5) -> DataFrame:
     """A1: per entity, the top co-occurring labels (sorted, capped at 5 —
     reference link_entities.py:437-493). Used as the disambiguation-
-    context analog; exposed as an auxiliary similarity signal."""
-    m = mentions.select("conv_id", "turn_idx", "canon_label").distinct()
+    context analog; exposed as an auxiliary similarity signal.
+
+    Shape: ONE shuffle of mention rows (groupBy turn + collect_set, which
+    also dedups within the turn), then a narrow double-explode generates
+    the co-occurrence pairs — no self-join, no separate distinct. The
+    per-turn set is bounded (mention cap 10), so the explode fan-out is
+    <= 90 rows per turn and the (label, ctx) aggregation map-side-combines
+    before its exchange. The former distinct + per-turn self-join paid two
+    wide scans of the mention table for the same result."""
+    per_turn = (
+        mentions.select("conv_id", "turn_idx", "canon_label")
+        .groupBy("conv_id", "turn_idx")
+        .agg(F.collect_set("canon_label").alias("__ls"))
+    )
     co = (
-        m.alias("a").join(m.alias("b"), ["conv_id", "turn_idx"])
-        .where(F.col("a.canon_label") != F.col("b.canon_label"))
-        .groupBy(
-            F.col("a.canon_label").alias("canon_label"),
-            F.col("b.canon_label").alias("ctx"),
-        )
+        per_turn.select(F.explode("__ls").alias("canon_label"), "__ls")
+        .select("canon_label", F.explode("__ls").alias("ctx"))
+        .where(F.col("canon_label") != F.col("ctx"))
+        .groupBy("canon_label", "ctx")
         .agg(F.count("*").alias("n"))
     )
     return (

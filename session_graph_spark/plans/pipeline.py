@@ -121,11 +121,106 @@ def normalized_labels(
         .agg(F.count("*").alias("n_sessions"))
         .where(F.col("n_sessions") >= min_sessions)
     )
-    canonicals = [r[0] for r in aliases.select("canonical").distinct().collect()]
-    counts = counts.where(
-        is_linkable_entity(F.col("canon_label")) | F.col("canon_label").isin(canonicals)
+    # the canonical whitelist is a broadcast semi-join flag, not a
+    # driver-side collect: no action runs inside resolve()'s plan
+    # construction, and the whitelist stays a dim-table concern at any
+    # alias-dictionary size
+    canon_dim = F.broadcast(
+        aliases.select(F.col("canonical").alias("canon_label")).distinct()
+        .withColumn("__is_canon", F.lit(True))
+    )
+    counts = (
+        counts.join(canon_dim, "canon_label", "left")
+        .where(is_linkable_entity(F.col("canon_label"))
+               | F.col("__is_canon").isNotNull())
+        .drop("__is_canon")
     )
     return counts.withColumn("block_key", slug("canon_label"))
+
+
+def _mention_context(mentions: DataFrame, aliases: DataFrame,
+                     labels: DataFrame, wanted: DataFrame) -> DataFrame | None:
+    """Per-canonical-label top-5 co-mention context vectors for the
+    scoring bonus, or None when the band is empty (nothing the bonus can
+    flip). Three scale bounds keep this stage O(band x evidence), never
+    O(corpus):
+
+    - COVERAGE: vectors are built only for `wanted` (the borderline band
+      labels, scoring.band_labels) — the only labels whose vector the
+      gated bonus can consult;
+    - EVIDENCE: each label's vector aggregates a deterministic
+      hash-spread sample of CTX_EVIDENCE_TURNS of its turns (ordered by
+      md5(conv|turn) — see similarity.CTX_EVIDENCE_TURNS for why NOT
+      first-K) — band labels are often hot tokens ('not', 'apache
+      spark') whose full turn set is a large fraction of the corpus,
+      while a spread sample estimates their top-5 without corpus-sized
+      aggregation;
+    - CONTENT: co-occurrence counts only labels from the SURVIVING set
+      (min-sessions filter) — one-off labels are noise as context.
+
+    The whole derivation is one narrow scan of the cached mention table
+    (the sampled turn keys broadcast back onto it); every wide operation
+    runs on band-sized data. Cached (not force-materialized): the two
+    broadcast builds in apply_context_bonus are the only consumers, and
+    the first populates the cache for the second."""
+    from pyspark.sql import Window
+
+    from session_graph_spark.functions.similarity import CTX_EVIDENCE_TURNS
+
+    # the band label set is tiny by construction (labels of pairs whose
+    # kernel score fell in an 0.08-wide band); collecting it lets the
+    # mention filter be a literal isin and the empty band skip every
+    # scan. The guard keeps the driver safe if a pathological corpus
+    # floods the band — past it, a broadcast semi-join carries the volume
+    wanted_rows = wanted.limit(10_001).collect()
+    if not wanted_rows:
+        return None
+    canon = apply_aliases(
+        mentions.select("conv_id", "turn_idx", "norm_label"), aliases,
+        label_col="norm_label", out_col="canon_label",
+    ).join(F.broadcast(labels.select("canon_label").distinct()),
+           "canon_label", "left_semi")
+    if len(wanted_rows) <= 10_000:
+        band_m = canon.where(
+            F.col("canon_label").isin([r[0] for r in wanted_rows])
+        )
+    else:
+        band_m = canon.join(F.broadcast(wanted), "canon_label", "left_semi")
+    # hash-spread order: an unbiased deterministic sample of the label's
+    # turns (md5 is identical in Spark and DuckDB, so the oracle mirrors
+    # the exact sample); conv/turn tiebreak for md5-collision paranoia
+    sample_key = F.md5(
+        F.concat_ws("|", F.col("conv_id"), F.col("turn_idx").cast("string"))
+    )
+    w = Window.partitionBy("canon_label").orderBy(
+        sample_key, "conv_id", "turn_idx"
+    )
+    sampled = (
+        band_m.select("canon_label", "conv_id", "turn_idx").distinct()
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= CTX_EVIDENCE_TURNS)
+        .select(F.col("canon_label").alias("__band"), "conv_id", "turn_idx")
+    )
+    co = (
+        canon.join(F.broadcast(sampled), ["conv_id", "turn_idx"])
+        .where(F.col("canon_label") != F.col("__band"))
+        # both inputs can carry dups (two surfaces -> one canonical);
+        # co-occurrence counts distinct turns — dedup on the band-sized
+        # join output, never the corpus
+        .select("__band", "conv_id", "turn_idx",
+                F.col("canon_label").alias("ctx"))
+        .dropDuplicates()
+        .groupBy("__band", "ctx").agg(F.count("*").alias("n"))
+    )
+    rank_w = Window.partitionBy("__band").orderBy(F.desc("n"), F.asc("ctx"))
+    return (
+        co.withColumn("__r", F.row_number().over(rank_w))
+        .where(F.col("__r") <= 5)
+        .groupBy("__band")
+        .agg(F.sort_array(F.collect_set("ctx")).alias("context"))
+        .withColumnRenamed("__band", "canon_label")
+        .cache()
+    )
 
 
 def resolve(
@@ -139,6 +234,7 @@ def resolve(
     processed_watermarks: DataFrame | None = None,
     collect_metrics: bool = False,
     max_parallelism: int | None = None,
+    use_context: bool = True,
 ) -> ResolutionResult:
     """Run the full ER pipeline. All heavy lifting is DataFrame ops; Python
     only runs inside Arrow-batched UDFs (extraction, L2 filter, scoring).
@@ -150,7 +246,18 @@ def resolve(
     32 (BENCH.md microbench) — so above the knee, fewer fatter tasks run
     faster. Scoped HERE rather than a session-wide spark.task.cpus so
     sub-second shuffle queries on the same session keep full parallelism
-    (the round-2 global knob cost them ~2x)."""
+    (the round-2 global knob cost them ~2x).
+
+    use_context (default True): blend the surrounding-turn-context signal
+    into pair scores per the north star ("mention strings AND surrounding
+    turn context") — for kernel scores in [threshold - CTX_WEIGHT,
+    threshold), score = min(kernel + CTX_WEIGHT * jaccard(top-5
+    co-mention context vectors), 1.0); other scores stay the pure kernel.
+    The band gate is exact, not approximate: an additive bonus of at most
+    CTX_WEIGHT cannot flip any decision outside that band, so the
+    expensive context aggregation runs only over turns containing a
+    borderline label (scoring.band_labels + _mention_context) instead of
+    the whole corpus. Disabling can only remove edges, never add."""
     aliases = aliases if aliases is not None else alias_df(spark)
 
     turns = prepare_turns(turns)
@@ -169,8 +276,24 @@ def resolve(
         labels = normalized_labels(mentions, aliases, min_sessions).cache()
         store.manifest["labels"] = {"rows": labels.count()}
         pairs = candidate_pairs(labels, label_col="canon_label", block_col="block_key")
-        scored = score_pairs(pairs, decisions=decisions).cache()
+        ctx_holder: list[DataFrame] = []
+
+        def _ctx_builder(scored_fresh: DataFrame) -> DataFrame | None:
+            from session_graph_spark.operators.scoring import band_labels
+
+            ctx = _mention_context(mentions, aliases, labels,
+                                   band_labels(scored_fresh))
+            if ctx is not None:
+                ctx_holder.append(ctx)
+            return ctx
+
+        scored = score_pairs(
+            pairs, decisions=decisions,
+            context_builder=_ctx_builder if use_context else None,
+        ).cache()
         store.manifest["scored"] = {"rows": scored.count()}
+        for c in ctx_holder:
+            c.unpersist()  # scored is materialized; the ctx cache is dead
         edges = match_edges(scored, threshold)
         clusters = assign_clusters(labels, edges, label_col="canon_label").cache()
     else:
@@ -192,13 +315,36 @@ def resolve(
             "pairs", labels_fp,
             lambda: candidate_pairs(labels, label_col="canon_label", block_col="block_key"),
         )
+        # ctx derives from mentions+aliases but is NOT a function of the
+        # labels table alone (co-occurrence can change while the distinct
+        # label set stays fixed), so the ctx part of the stage key is the
+        # turns+alias fingerprint, not labels_fp. Built lazily INSIDE the
+        # stage lambda: a reused checkpoint must not pay the context
+        # self-join
+        ctx_key = f"{turns_fp}:{alias_fp}" if use_context else "off"
+        ctx_holder: list[DataFrame] = []
+
+        def _ctx_builder(scored_fresh: DataFrame) -> DataFrame | None:
+            from session_graph_spark.operators.scoring import band_labels
+
+            ctx = _mention_context(mentions, aliases, labels,
+                                   band_labels(scored_fresh))
+            if ctx is not None:
+                ctx_holder.append(ctx)
+            return ctx
+
         scored = store.stage(
-            "scored", f"{labels_fp}:dec={decisions_fp}",
-            lambda: score_pairs(pairs, decisions=decisions),
+            "scored", f"{labels_fp}:dec={decisions_fp}:ctx={ctx_key}",
+            lambda: score_pairs(
+                pairs, decisions=decisions,
+                context_builder=_ctx_builder if use_context else None,
+            ),
         )
+        for c in ctx_holder:
+            c.unpersist()  # scored stage is parquet-materialized
         edges = match_edges(scored, threshold)
         clusters = store.stage(
-            "clusters", f"{labels_fp}:dec={decisions_fp}:th={threshold}",
+            "clusters", f"{labels_fp}:dec={decisions_fp}:ctx={ctx_key}:th={threshold}",
             lambda: assign_clusters(labels, edges, label_col="canon_label"),
         )
 

@@ -47,12 +47,15 @@ def turtle_lines(reified: DataFrame) -> DataFrame:
 
 
 def write_turtle(reified: DataFrame, path: str) -> None:
-    """Write a .ttl directory: a prefix header part + statement parts."""
+    """Write a .ttl directory: a prefix header part + statement parts.
+    Output file count is sized from the cluster's default parallelism
+    (a plan-independent constant) — deriving it from the input would
+    force a plan->RDD conversion just to read a partition count."""
     spark = reified.sparkSession
     header = spark.createDataFrame([(PREFIXES,)], ["value"])
-    header.unionByName(turtle_lines(reified)).coalesce(max(
-        1, reified.rdd.getNumPartitions() // 4
-    )).write.mode("overwrite").text(path)
+    n_out = max(1, spark.sparkContext.defaultParallelism // 4)
+    header.unionByName(turtle_lines(reified)).coalesce(n_out) \
+        .write.mode("overwrite").text(path)
 
 
 def write_serving_table(df: DataFrame, path: str, expect_min_rows: int = 1) -> int:
@@ -62,20 +65,38 @@ def write_serving_table(df: DataFrame, path: str, expect_min_rows: int = 1) -> i
     (load_fuseki.py:76-94), and a full-table recount would cost O(table
     history) on every append. Returns the appended row count.
 
-    File-diff listing works on any filesystem path; on an object store
-    swap it for the commit manifest the output committer produces."""
+    File-diff listing only works where the driver can list the path
+    (local filesystem). For URI paths (file:/, hdfs://, s3a://) the
+    local glob sees nothing — there the verify falls back to a
+    before/after full-table count delta (correct, but O(table history);
+    an object-store deployment should swap in the commit manifest the
+    output committer produces)."""
     import glob
     import os
+
+    spark = df.sparkSession
+    is_local = "://" not in path and not path.startswith("file:/")
 
     def _files() -> set[str]:
         return set(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
 
-    before = _files() if os.path.isdir(path) else set()
-    df.write.mode("append").parquet(path)
-    new = sorted(_files() - before)
-    if not new:
-        raise RuntimeError(f"serving table {path}: append produced no files")
-    n = df.sparkSession.read.parquet(*new).count()
+    def _table_count() -> int:
+        try:
+            return spark.read.parquet(path).count()
+        except Exception:  # noqa: BLE001 - table does not exist yet
+            return 0
+
+    if is_local:
+        before = _files() if os.path.isdir(path) else set()
+        df.write.mode("append").parquet(path)
+        new = sorted(_files() - before)
+        if not new:
+            raise RuntimeError(f"serving table {path}: append produced no files")
+        n = spark.read.parquet(*new).count()
+    else:
+        n_before = _table_count()
+        df.write.mode("append").parquet(path)
+        n = _table_count() - n_before
     if n < expect_min_rows:
         raise RuntimeError(
             f"serving table {path} append wrote {n} rows < {expect_min_rows}"

@@ -251,6 +251,49 @@ def test_kb_enrichment_join(spark):
     assert "orchestration" in out["k8s"]["description"]
 
 
+def test_external_kb_dimension(spark, tmp_path):
+    """kb_df(path=...) loads a parquet KB dimension with the same schema;
+    the linker machinery is dimension-agnostic — a 5k-entry generated KB
+    (a superset of the curated entries plus 4,550 synthetic ones) links
+    the curated labels identically AND resolves labels only the external
+    dimension knows."""
+    from session_graph_spark.operators.linking import KB_ENTRIES, KB_SCHEMA
+
+    rows = [(k, lbl, d, list(a)) for k, lbl, d, a in KB_ENTRIES]
+    rows += [
+        (f"kb:9{i:04d}", f"extlib{i}",
+         "synthetic library for distributed processing",
+         [f"xl{i}"])
+        for i in range(4550)
+    ]
+    path = str(tmp_path / "kb5k")
+    spark.createDataFrame(rows, KB_SCHEMA).write.parquet(path)
+
+    ext = kb_df(spark, path=path)
+    assert ext.count() == len(rows)
+
+    labels = spark.createDataFrame(
+        [("python",), ("k8s",), ("extlib42",), ("xl7",), ("zzz-nope",)],
+        ["label"],
+    )
+    small = {r["label"]: r for r in link_to_kb(labels, kb_df(spark)).collect()}
+    big = {r["label"]: r for r in link_to_kb(labels, ext).collect()}
+    # curated labels: identical decision at both dimensions
+    for lbl in ("python", "k8s", "zzz-nope"):
+        assert (small[lbl]["kb_id"], small[lbl]["confidence"],
+                small[lbl]["linked"]) == \
+               (big[lbl]["kb_id"], big[lbl]["confidence"], big[lbl]["linked"])
+    # external-only labels resolve against the big dimension
+    assert big["extlib42"]["kb_id"] == "kb:90042" and big["extlib42"]["confidence"] == 1.0
+    assert big["xl7"]["kb_id"] == "kb:90007" and big["xl7"]["confidence"] == 0.8
+    assert small["extlib42"]["linked"] is False
+    # schema validation rejects a wrong table
+    bad = str(tmp_path / "bad")
+    spark.createDataFrame([(1,)], ["x"]).write.parquet(bad)
+    with pytest.raises(ValueError, match="lacks columns"):
+        kb_df(spark, path=bad)
+
+
 def test_link_clusters_consumes_context(spark):
     """link_clusters feeds entity_context evidence through to the linker
     (reference link_entities.py:653-663)."""

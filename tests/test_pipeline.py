@@ -139,24 +139,34 @@ def test_sql_cc_replays_pipeline_merges(result):
     merges happen (unlike the driver's documents table, whose labels are
     all singletons) — and require identical cluster assignments. This is
     the merge-path half of the oracle-parity claim: all-pairs-prefilter
-    candidates + DuckDB kernel + recursive closure == LSH candidates +
-    Arrow kernel + distributed CC."""
+    candidates + DuckDB (kernel + context-Jaccard bonus) + recursive
+    closure == LSH candidates + Arrow kernel + JVM ctx bonus +
+    distributed CC. The canonicalized mentions feed the SQL side's
+    context derivation, mirroring resolve(use_context=True)."""
     import sys
 
     import duckdb
 
     sys.path.insert(0, "/root/repo")
     from __spark_entry__ import _score_cc_cte
+    from session_graph_spark.functions.normalize import apply_aliases
 
+    spark = result.labels.sparkSession
     labels_pdf = result.labels.select("canon_label", "block_key").toPandas()
+    cm_pdf = (
+        apply_aliases(result.mentions.select("conv_id", "turn_idx", "norm_label"),
+                      alias_df(spark), "norm_label", "canon_label")
+        .select("conv_id", "turn_idx", "canon_label").toPandas()
+    )
     expected = {
         r["label"]: r["cluster_id"] for r in result.clusters.collect()
     }
 
     con = duckdb.connect()
     con.register("labels_t", labels_pdf)
+    con.register("cmentions_t", cm_pdf)
     sql = f"""
-        WITH RECURSIVE {_score_cc_cte("labels_t")}
+        WITH RECURSIVE {_score_cc_cte("labels_t", ctx_src="cmentions_t")}
         SELECT l.canon_label AS label,
                coalesce(grp.cluster_id, l.canon_label) AS cluster_id
         FROM (SELECT DISTINCT canon_label FROM labels_t) l

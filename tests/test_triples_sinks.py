@@ -42,6 +42,41 @@ def test_build_triples(spark, ctx):
            sorted(map(tuple, reified.select("triple_id").collect()))
 
 
+def test_per_pair_cue_predicates(spark):
+    """A turn with two cues must emit DIFFERENT predicates for its two
+    mention pairs (the reference chooses a predicate per triple, not per
+    turn): 'X uses Y. Z solves W.' -> uses(X,Y) and solves(Z,W)."""
+    turns = spark.createDataFrame(
+        [("c1", 0, "alpha uses beta for ingest. gamma solves delta nicely.",
+          None)],
+        "conv_id string, turn_idx int, text string, ts timestamp",
+    )
+    mentions = spark.createDataFrame(
+        [("c1", 0, "alpha", 0, None), ("c1", 0, "beta", 1, None),
+         ("c1", 0, "gamma", 2, None), ("c1", 0, "delta", 3, None)],
+        "conv_id string, turn_idx int, canon_label string, pos int, ts timestamp",
+    )
+    edges = build_triples(mentions, turns)["edges"]
+    got = {(r["subject"], r["object"]): r["predicate"] for r in edges.collect()}
+    assert got[("alpha", "beta")] == "uses"
+    assert got[("gamma", "delta")] == "solves"
+    # the middle cross-sentence pair clamps to the nearest (last) cue
+    assert got[("beta", "gamma")] == "solves"
+    # single-cue turn still applies that cue; cueless falls back
+    turns2 = spark.createDataFrame(
+        [("c2", 0, "alpha requires beta and gamma together here ok.", None)],
+        "conv_id string, turn_idx int, text string, ts timestamp",
+    )
+    mentions2 = spark.createDataFrame(
+        [("c2", 0, "alpha", 0, None), ("c2", 0, "beta", 1, None),
+         ("c2", 0, "gamma", 2, None)],
+        "conv_id string, turn_idx int, canon_label string, pos int, ts timestamp",
+    )
+    got2 = {(r["subject"], r["object"]): r["predicate"]
+            for r in build_triples(mentions2, turns2)["edges"].collect()}
+    assert got2 == {("alpha", "beta"): "requires", ("beta", "gamma"): "requires"}
+
+
 def test_hub_by_triple_degree(spark, ctx):
     turns, mentions = ctx
     edges = build_triples(mentions, turns)["edges"]
