@@ -348,6 +348,82 @@ def test_incremental_changed_conversation(spark, tmp_path):
     assert out3.count() == 0
 
 
+def test_merge_overwrite_matches_naive_reference(spark, tmp_path):
+    """Property: a random sequence of partition-scoped MERGEs produces
+    exactly the table a naive full-rewrite upsert would — across new
+    conversations, replacements, row-count changes, and deletions
+    (replaced conv with zero new rows), including partitions that empty
+    out entirely."""
+    import random
+
+    from session_graph_spark.streaming.incremental import IncrementalRunner
+
+    rng = random.Random(7)
+    runner = IncrementalRunner(spark, str(tmp_path / "state"), n_parts=4)
+    path = str(tmp_path / "state" / "clusters")
+    reference: dict[str, list[tuple]] = {}
+
+    for step in range(6):
+        # each batch: a mix of brand-new convs and replacements of known
+        # ones; some replacements carry zero rows (pure deletion)
+        batch_convs = {f"conv-{rng.randint(0, 9)}" for _ in range(rng.randint(1, 4))}
+        rows = []
+        for c in batch_convs:
+            n = rng.choice([0, 1, 2, 3])
+            for i in range(n):
+                rows.append((c, f"label-{rng.randint(0, 5)}-{i}", f"cl-{step}"))
+        new_df = spark.createDataFrame(
+            rows, "conv_id string, canon_label string, cluster_id string"
+        ) if rows else spark.createDataFrame(
+            [], "conv_id string, canon_label string, cluster_id string"
+        )
+        replaced = spark.createDataFrame(
+            [(c,) for c in sorted(batch_convs)], "conv_id string"
+        )
+        runner._merge_overwrite(path, new_df, replaced)
+        for c in batch_convs:
+            reference.pop(c, None)
+        for r in rows:
+            reference.setdefault(r[0], []).append(r)
+
+        got = sorted(map(tuple, runner.clusters().collect()))
+        want = sorted(t for rows_ in reference.values() for t in rows_)
+        assert got == want, f"diverged at step {step}"
+
+
+def test_context_bonus_invariants(spark):
+    """apply_context_bonus: (1) scores outside the band pass through
+    bit-identically; (2) the bonus never decreases a score; (3) the
+    result caps at 1.0; (4) a label with no context vector gets the pure
+    kernel score."""
+    from session_graph_spark.operators.scoring import (CTX_BAND_LO,
+                                                       apply_context_bonus)
+
+    scored = spark.createDataFrame(
+        [("a", "b", 0.50), ("c", "d", 0.65), ("e", "f", 0.695),
+         ("g", "h", 0.75), ("i", "j", 0.99), ("k", "noctx", 0.69)],
+        "label_a string, label_b string, score double",
+    )
+    ctx = spark.createDataFrame(
+        [("a", ["x", "y"]), ("b", ["x", "y"]),
+         ("c", ["x", "y", "z"]), ("d", ["x", "y", "w"]),
+         ("e", ["x"]), ("f", ["x"]),
+         ("g", ["x"]), ("h", ["x"]),
+         ("i", ["x"]), ("j", ["x"]), ("k", ["x"])],
+        "canon_label string, context array<string>",
+    )
+    out = {(r["label_a"], r["label_b"]): r["score"]
+           for r in apply_context_bonus(scored, ctx).collect()}
+    assert out[("a", "b")] == 0.50          # below band: untouched
+    assert out[("g", "h")] == 0.75          # at/above threshold: untouched
+    assert out[("i", "j")] == 0.99
+    assert out[("c", "d")] == 0.65 + 0.08 * 0.5   # jacc(xyz, xyw) = 2/4
+    assert out[("e", "f")] == min(0.695 + 0.08 * 1.0, 1.0)
+    assert out[("k", "noctx")] == 0.69      # missing vector: kernel only
+    assert all(v <= 1.0 for v in out.values())
+    assert CTX_BAND_LO < 0.7
+
+
 def test_incremental_merge_rewrites_only_touched_partitions(spark, tmp_path):
     """The partition-scoped MERGE contract: state tables are hash-
     partitioned by conv_id, and a batch that changes one conversation
