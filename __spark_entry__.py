@@ -1230,26 +1230,57 @@ def q_session_overlap(spark, sf):
 
 
 def q_media_features(spark, sf):
-    """Multimodal plumbing exercised on driver data: documents become a
-    media-asset table (deterministic UTF-8 bytes as the opaque binary
-    column, kind cycled by doc_id), run through the real mapInPandas
-    feature-extraction path (operators/multimodal.py:extract_features —
-    per-asset rows for image/audio, 3 sampled frames for video). The
-    stubbed feature vector is excluded; the oracled surface is the
-    plumbing itself: byte length, content sha, frame fan-out."""
-    from session_graph_spark.operators.multimodal import extract_features
+    """Multimodal decode + plumbing exercised on driver data (round 4:
+    the decode step is REAL, not stubbed): image rows carry actual
+    24-bpp BMP bytes and audio rows actual PCM WAV bytes — dimensions,
+    fill value, sample count, and amplitude all derived from doc_id — so
+    the native decoders (operators/multimodal.py:decode_image /
+    decode_audio) must parse real binary formats to produce width/
+    height/mean_pixel and n_samples/sample_rate/duration_ms/rms, which
+    the oracle recomputes ARITHMETICALLY from doc_id (including the
+    exact BMP file size with its 4-byte row padding). Video rows keep
+    UTF-8 text bytes, pinning the content-sha and per-frame fan-out
+    plumbing (no library-free video container parser exists; honestly
+    stubbed)."""
+    import numpy as np
 
-    assets = _docs(spark, sf).select(
-        F.col("doc_id").alias("asset_id"),
-        F.element_at(
-            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            (F.col("doc_id") % 3 + 1).cast("int"),
-        ).alias("kind"),
-        F.encode("text", "UTF-8").alias("media"),
-    )
+    from session_graph_spark.operators.multimodal import (encode_bmp,
+                                                          encode_wav,
+                                                          extract_features)
+
+    d = _docs(spark, sf).select("doc_id", "text")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                did = int(r.doc_id)
+                k = did % 3
+                if k == 0:
+                    w, h, v = did % 7 + 1, did % 5 + 1, did % 256
+                    media = encode_bmp(np.full((h, w, 3), v, dtype=np.uint8))
+                    kind = "image"
+                elif k == 1:
+                    n, a = did % 50 + 1, did % 1000
+                    media = encode_wav(np.full(n, a, dtype=np.int16), 8000)
+                    kind = "audio"
+                else:
+                    media, kind = r.text.encode("utf-8"), "video"
+                out.append((did, kind, bytearray(media)))
+            yield pd.DataFrame(out, columns=["asset_id", "kind", "media"])
+
+    assets = d.mapInPandas(synth, "asset_id long, kind string, media binary")
     return (
         extract_features(assets)
-        .select("asset_id", "kind", "n_bytes", "content_sha", "frame_idx")
+        .select(
+            "asset_id", "kind", "n_bytes",
+            F.when(F.col("kind") == "video", F.col("content_sha"))
+            .alias("content_sha"),
+            "frame_idx", "width", "height", "mean_pixel",
+            "n_samples", "sample_rate", "duration_ms", "rms",
+        )
         .orderBy("asset_id", "frame_idx")
     )
 
@@ -2095,20 +2126,36 @@ def _warp_sqlite_scan_oracle() -> str:
 
 
 def _media_features_oracle() -> str:
-    """Plumbing mirror: DuckDB sha256(VARCHAR) hashes the UTF-8 bytes —
-    the same bytes Spark's encode(text,'UTF-8') feeds the pandas path."""
+    """Decode + plumbing mirror, all arithmetic: the BMP file size is
+    54 + height * row_size with row_size = (3*width+3)//4*4 (the 4-byte
+    row padding the decoder must honor), the WAV size is 44 + 2*samples,
+    the constant-fill mean pixel equals the fill value, the constant-
+    amplitude RMS equals the amplitude (exact in float64), and video
+    rows keep the sha-of-UTF-8-text plumbing pin (DuckDB sha256(VARCHAR)
+    hashes the same bytes Spark's text.encode('utf-8') produces)."""
     return """
-        WITH a AS (SELECT doc_id AS asset_id,
-                          CASE (doc_id % 3) WHEN 0 THEN 'image'
-                                            WHEN 1 THEN 'audio'
-                                            ELSE 'video' END AS kind,
-                          text
+        WITH a AS (SELECT doc_id AS asset_id, doc_id % 3 AS k, text,
+                          doc_id % 7 + 1 AS w, doc_id % 5 + 1 AS h,
+                          doc_id % 256 AS v,
+                          doc_id % 50 + 1 AS n, doc_id % 1000 AS amp
                    FROM documents)
-        SELECT asset_id, kind,
-               octet_length(encode(text))::INT AS n_bytes,
-               substring(sha256(text), 1, 16) AS content_sha,
-               unnest(range(0, CASE WHEN kind = 'video' THEN 3 ELSE 1 END))::INT
-                 AS frame_idx
+        SELECT asset_id,
+               CASE k WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                      ELSE 'video' END AS kind,
+               (CASE k WHEN 0 THEN 54 + h * ((3 * w + 3) // 4 * 4)
+                       WHEN 1 THEN 44 + 2 * n
+                       ELSE octet_length(encode(text)) END)::INT AS n_bytes,
+               CASE WHEN k = 2 THEN substring(sha256(text), 1, 16)
+                    END AS content_sha,
+               unnest(range(0, CASE WHEN k = 2 THEN 3 ELSE 1 END))::INT
+                 AS frame_idx,
+               (CASE WHEN k = 0 THEN w END)::INT AS width,
+               (CASE WHEN k = 0 THEN h END)::INT AS height,
+               (CASE WHEN k = 0 THEN v END)::DOUBLE AS mean_pixel,
+               (CASE WHEN k = 1 THEN n END)::INT AS n_samples,
+               (CASE WHEN k = 1 THEN 8000 END)::INT AS sample_rate,
+               (CASE WHEN k = 1 THEN (n * 1000) // 8000 END)::INT AS duration_ms,
+               (CASE WHEN k = 1 THEN amp END)::DOUBLE AS rms
         FROM a ORDER BY asset_id, frame_idx"""
 
 

@@ -1,10 +1,16 @@
-"""Multimodal column plumbing (training-data-pipeline extension).
+"""Multimodal column plumbing + native codecs (training-data extension).
 
 Images/audio/video travel as opaque `binary` columns with typed metadata.
 The Spark-side plumbing — schemas, batch shapes, partition-friendly
-signatures — is real and tested; the actual codec work is stubbed behind
-deterministic fakes because the sandbox has no image/audio libraries
-(swap `_fake_decode` for PIL/ffmpeg calls in production).
+signatures — is real and tested, and since round 4 the decode step is
+REAL for the formats that need no external library: uncompressed 24-bpp
+BMP and binary PPM (P6) images, and PCM WAV audio, parsed with
+struct/numpy only. Richer formats (JPEG/PNG/MP3/MP4) route through
+PIL/soundfile WHEN those libraries exist (import-try); otherwise the row
+keeps its plumbing columns and null decode columns — never a crash, and
+never a fake value pretending to be a decode. Video container parsing
+has no no-library path, so video rows keep the deterministic
+hash-expansion feature vector and the per-frame fan-out shape.
 
 Pattern: mapInPandas over (id, media, meta) so each Arrow batch carries
 the raw bytes once; per-batch numpy work; output is a feature row per
@@ -14,6 +20,7 @@ asset (or per sampled frame).
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -34,39 +41,179 @@ MEDIA_SCHEMA = StructType([
 
 FEATURE_SCHEMA = (
     "asset_id long, kind string, n_bytes int, content_sha string, "
-    "feat array<float>, frame_idx int"
+    "feat array<float>, frame_idx int, "
+    "width int, height int, mean_pixel double, "
+    "n_samples int, sample_rate int, duration_ms int, rms double"
 )
 
 
+# --------------------------------------------------------------------------
+# native codecs (no external libraries)
+# --------------------------------------------------------------------------
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 array -> uncompressed 24-bpp BMP bytes (BITMAPFILE-
+    HEADER + BITMAPINFOHEADER, rows bottom-up, 4-byte padded)."""
+    h, w, _ = pixels.shape
+    row_size = (3 * w + 3) // 4 * 4
+    img_size = row_size * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size,
+                       2835, 2835, 0, 0)
+    body = bytearray()
+    pad = b"\x00" * (row_size - 3 * w)
+    for y in range(h - 1, -1, -1):            # bottom-up row order
+        body += pixels[y, :, ::-1].tobytes()  # BGR on disk
+        body += pad
+    return header + info + bytes(body)
+
+
+def decode_image(data: bytes) -> dict:
+    """Real image decode: BMP (24-bpp uncompressed) and PPM (P6) natively;
+    other formats via PIL when installed. Returns {width, height,
+    mean_pixel, pixels}; raises NotImplementedError for formats with no
+    available decoder."""
+    if data[:2] == b"BM":
+        (_, _, _, _, offset) = struct.unpack("<2sIHHI", data[:14])
+        (hdr, w, h, _, bpp) = struct.unpack("<IiiHH", data[14:30])
+        compression = struct.unpack("<I", data[30:34])[0]
+        if bpp != 24 or compression != 0:
+            raise NotImplementedError(f"BMP bpp={bpp} compression={compression}")
+        row_size = (3 * w + 3) // 4 * 4
+        rows = []
+        for y in range(abs(h)):
+            off = offset + y * row_size
+            row = np.frombuffer(data, dtype=np.uint8, count=3 * w, offset=off)
+            rows.append(row.reshape(w, 3)[:, ::-1])  # BGR -> RGB
+        px = np.stack(rows[::-1] if h > 0 else rows)  # bottom-up -> top-down
+        return {"width": w, "height": abs(h),
+                "mean_pixel": float(px.astype(np.float64).mean()), "pixels": px}
+    if data[:2] == b"P6":
+        # P6\n<w> <h>\n<maxval>\n<binary rgb>
+        parts = data.split(b"\n", 3)
+        w, h = (int(x) for x in parts[1].split())
+        px = np.frombuffer(parts[3], dtype=np.uint8,
+                           count=w * h * 3).reshape(h, w, 3)
+        return {"width": w, "height": h,
+                "mean_pixel": float(px.astype(np.float64).mean()), "pixels": px}
+    try:  # pragma: no cover - PIL absent in this sandbox
+        import io
+
+        from PIL import Image
+
+        im = Image.open(io.BytesIO(data)).convert("RGB")
+        px = np.asarray(im)
+        return {"width": im.width, "height": im.height,
+                "mean_pixel": float(px.astype(np.float64).mean()), "pixels": px}
+    except ImportError as exc:
+        raise NotImplementedError(
+            "unrecognized image format and PIL is not installed "
+            "(native decoders: BMP 24-bpp, PPM P6)"
+        ) from exc
+
+
+def resize_nearest(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize on a (h, w, 3) array — pure numpy indexing,
+    the library-free counterpart of PIL's Image.resize."""
+    h, w, _ = pixels.shape
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return pixels[np.ix_(ys, xs)]
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """int16 mono samples -> PCM WAV bytes (44-byte canonical header)."""
+    pcm = samples.astype("<i2").tobytes()
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(pcm), b"WAVE")
+        + struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, sample_rate,
+                      sample_rate * 2, 2, 16)
+        + struct.pack("<4sI", b"data", len(pcm))
+        + pcm
+    )
+
+
+def decode_audio(data: bytes) -> dict:
+    """Real audio decode: PCM WAV (16/8-bit) natively; other formats raise
+    NotImplementedError (soundfile/ffmpeg territory). Returns {n_samples,
+    sample_rate, n_channels, duration_ms, rms, samples}."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "unrecognized audio format (native decoder: PCM WAV)")
+    pos, fmt, pcm = 12, None, None
+    while pos + 8 <= len(data):
+        cid, size = struct.unpack("<4sI", data[pos:pos + 8])
+        body = data[pos + 8: pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or pcm is None:
+        raise NotImplementedError("WAV missing fmt/data chunk")
+    audio_fmt, n_ch, rate, _, _, bits = fmt
+    if audio_fmt != 1 or bits not in (8, 16):
+        raise NotImplementedError(f"WAV fmt={audio_fmt} bits={bits}")
+    dt = np.int16 if bits == 16 else np.uint8
+    samples = np.frombuffer(pcm, dtype=dt)
+    n = len(samples) // n_ch
+    rms = float(np.sqrt(np.mean(samples.astype(np.float64) ** 2))) if n else 0.0
+    return {"n_samples": n, "sample_rate": rate, "n_channels": n_ch,
+            "duration_ms": n * 1000 // rate, "rms": rms, "samples": samples}
+
+
 def _fake_decode(data: bytes, dim: int = 8) -> np.ndarray:
-    """Deterministic stand-in for decode + feature-extract: features are a
-    seeded hash-expansion of the bytes. Replace with a real decoder
-    (raises NotImplementedError if you need true pixels here)."""
+    """Deterministic stand-in feature vector (hash expansion of the
+    bytes) — used for video frames, where container parsing has no
+    no-library path."""
     if data is None:
-        raise NotImplementedError("real decode requires an image/audio codec")
+        raise NotImplementedError("real decode requires a video codec")
     h = hashlib.sha256(data).digest()
     return (np.frombuffer(h[: dim * 4], dtype=np.uint32).astype(np.float32)
             / np.float32(2**32))
 
 
+_NULL_DECODE = dict(width=None, height=None, mean_pixel=None, n_samples=None,
+                    sample_rate=None, duration_ms=None, rms=None)
+
+
 def extract_features(assets: DataFrame, frames_per_video: int = 3) -> DataFrame:
     """(asset_id, kind, media, ...) -> one feature row per asset (images/
-    audio) or per sampled frame (video). Deterministic fake features."""
+    audio) or per sampled frame (video). Image/audio rows carry REAL
+    decoded features (width/height/mean_pixel, n_samples/sample_rate/
+    duration_ms/rms) when the bytes are a format the native decoders (or
+    an installed PIL) understand, null decode columns otherwise; every
+    row keeps the plumbing columns (byte count, content sha, frame
+    index) and the deterministic hash feature vector."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:  # pragma: no cover
+        cols = ["asset_id", "kind", "n_bytes", "content_sha", "feat",
+                "frame_idx", "width", "height", "mean_pixel", "n_samples",
+                "sample_rate", "duration_ms", "rms"]
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
                 data = bytes(r.media) if r.media is not None else b""
                 sha = hashlib.sha256(data).hexdigest()[:16]
+                dec = dict(_NULL_DECODE)
+                try:
+                    if r.kind == "image":
+                        d = decode_image(data)
+                        dec.update(width=d["width"], height=d["height"],
+                                   mean_pixel=d["mean_pixel"])
+                    elif r.kind == "audio":
+                        d = decode_audio(data)
+                        dec.update(n_samples=d["n_samples"],
+                                   sample_rate=d["sample_rate"],
+                                   duration_ms=d["duration_ms"], rms=d["rms"])
+                except NotImplementedError:
+                    pass  # unknown format: plumbing columns only
                 n_frames = frames_per_video if r.kind == "video" else 1
                 for fi in range(n_frames):
                     feat = _fake_decode(data + fi.to_bytes(2, "big"))
                     rows.append(dict(asset_id=r.asset_id, kind=r.kind,
                                      n_bytes=len(data), content_sha=sha,
-                                     feat=feat.tolist(), frame_idx=fi))
-            yield pd.DataFrame(rows, columns=["asset_id", "kind", "n_bytes",
-                                              "content_sha", "feat", "frame_idx"])
+                                     feat=feat.tolist(), frame_idx=fi, **dec))
+            yield pd.DataFrame(rows, columns=cols)
 
     return assets.mapInPandas(run, schema=FEATURE_SCHEMA)
 

@@ -166,6 +166,92 @@ def test_multimodal_plumbing(spark):
     d = dedupe_assets(assets)
     assert d.count() == 12
     assert d.select("content_hash").distinct().count() == 12
+    # synth blobs are not a recognized codec format: decode columns null,
+    # plumbing intact (no crash, no fake decode values)
+    assert all(r["width"] is None and r["rms"] is None for r in rows)
+
+
+def test_native_image_codec_roundtrip():
+    """encode_bmp -> decode_image recovers dimensions, pixel values, and
+    mean exactly; PPM (P6) decodes natively too; unknown bytes raise."""
+    import numpy as np
+    import pytest as pt
+
+    from session_graph_spark.operators.multimodal import (decode_image,
+                                                          encode_bmp,
+                                                          resize_nearest)
+
+    rng = np.random.RandomState(3)
+    px = rng.randint(0, 256, size=(5, 7, 3)).astype(np.uint8)
+    d = decode_image(encode_bmp(px))
+    assert (d["width"], d["height"]) == (7, 5)
+    assert np.array_equal(d["pixels"], px)
+    assert d["mean_pixel"] == float(px.astype(np.float64).mean())
+    # row padding: width not divisible by 4
+    px2 = rng.randint(0, 256, size=(2, 3, 3)).astype(np.uint8)
+    assert np.array_equal(decode_image(encode_bmp(px2))["pixels"], px2)
+    # PPM P6
+    ppm = b"P6\n4 2\n255\n" + px[:2, :4].tobytes()
+    d2 = decode_image(ppm)
+    assert (d2["width"], d2["height"]) == (4, 2)
+    assert np.array_equal(d2["pixels"], px[:2, :4])
+    # nearest-neighbor resize: exact corner preservation
+    big = resize_nearest(px, 14, 10)
+    assert big.shape == (10, 14, 3)
+    assert np.array_equal(big[0, 0], px[0, 0])
+    with pt.raises(NotImplementedError):
+        decode_image(b"\x89PNG-not-really")
+
+
+def test_native_audio_codec_roundtrip():
+    """encode_wav -> decode_audio recovers sample count, rate, duration,
+    and RMS exactly (constant-amplitude RMS is exact in float64)."""
+    import numpy as np
+    import pytest as pt
+
+    from session_graph_spark.operators.multimodal import (decode_audio,
+                                                          encode_wav)
+
+    s = np.full(24, 500, dtype=np.int16)
+    d = decode_audio(encode_wav(s, sample_rate=8000))
+    assert d["n_samples"] == 24 and d["sample_rate"] == 8000
+    assert d["duration_ms"] == 24 * 1000 // 8000
+    assert d["rms"] == 500.0
+    assert np.array_equal(d["samples"], s)
+    mixed = np.array([3, -4], dtype=np.int16)  # rms = sqrt((9+16)/2)
+    assert decode_audio(encode_wav(mixed))["rms"] == float(np.sqrt(12.5))
+    with pt.raises(NotImplementedError):
+        decode_audio(b"OggS-not-wav")
+
+
+def test_extract_features_decodes_real_media(spark):
+    """extract_features populates the decode columns for real BMP/WAV
+    bytes and leaves them null for unrecognized formats."""
+    import numpy as np
+
+    from session_graph_spark.operators.multimodal import (encode_bmp,
+                                                          encode_wav,
+                                                          extract_features)
+
+    px = np.full((3, 4, 3), 77, dtype=np.uint8)
+    wav = np.full(16, 250, dtype=np.int16)
+    assets = spark.createDataFrame(
+        [(1, "image", bytearray(encode_bmp(px))),
+         (2, "audio", bytearray(encode_wav(wav, 8000))),
+         (3, "image", bytearray(b"not-an-image")),
+         (4, "video", bytearray(b"fake-video-bytes"))],
+        "asset_id long, kind string, media binary",
+    )
+    rows = {r["asset_id"]: r for r in extract_features(assets).collect()
+            if r["frame_idx"] == 0}
+    assert (rows[1]["width"], rows[1]["height"]) == (4, 3)
+    assert rows[1]["mean_pixel"] == 77.0
+    assert rows[2]["n_samples"] == 16 and rows[2]["rms"] == 250.0
+    assert rows[2]["duration_ms"] == 2
+    assert rows[3]["width"] is None  # unknown format: plumbing only
+    assert rows[4]["width"] is None  # video: per-frame fan-out, no decode
+    assert rows[1]["n_bytes"] == 54 + 3 * ((3 * 4 + 3) // 4 * 4)
+    assert rows[2]["n_bytes"] == 44 + 2 * 16
 
 
 def test_exact_variants_keep_full_recall_over_cap(spark):
