@@ -158,6 +158,38 @@ def main() -> None:
         ["HashAggregate", "PushedFilters"],
     ))
 
+    # 8. context bonus (round 4): both context-vector joins onto the
+    # scored pairs must be BROADCAST (the band-limited ctx dim is tiny by
+    # construction) and never cartesian
+    from session_graph_spark.operators.scoring import apply_context_bonus
+
+    scored_demo = spark.createDataFrame(
+        [("a", "b", 0.65)], "label_a string, label_b string, score double")
+    ctx_demo = spark.createDataFrame(
+        [("a", ["x"]), ("b", ["x"])], "canon_label string, context array<string>")
+    bonus_plan = explain_str(apply_context_bonus(scored_demo, ctx_demo))
+    assert "CartesianProduct" not in bonus_plan
+    assert bonus_plan.count("BroadcastHashJoin") >= 2, \
+        "both ctx-vector joins must broadcast"
+    sections.append((
+        "Context bonus: band-limited ctx dim broadcast onto scored pairs",
+        bonus_plan,
+        ["BroadcastHashJoin"],
+    ))
+
+    # 9. KB link join (round 4: external dimension path): the match dim is
+    # broadcast regardless of whether it came from code or parquet
+    from session_graph_spark.operators.linking import kb_df, link_to_kb
+
+    kb_plan = explain_str(link_to_kb(
+        spark.createDataFrame([("python",)], ["label"]), kb_df(spark)))
+    assert "CartesianProduct" not in kb_plan
+    sections.append((
+        "KB link: broadcast match dimension (code or external parquet)",
+        kb_plan,
+        ["BroadcastHashJoin"],
+    ))
+
     failures = []
     out = ["# PLANS — physical plan inspection (generated by scripts/explain_plans.py)\n"]
     for title, plan, must in sections:
