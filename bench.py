@@ -133,7 +133,14 @@ def main() -> None:
     from session_graph_spark.operators.linking import (KB_ENTRIES, KB_SCHEMA,
                                                        kb_df, link_to_kb)
 
-    kb5k_path = os.path.join(tempfile.gettempdir(), "spark_graft_kb5k")
+    # cache key includes the KB content hash — a stale /tmp dimension from
+    # an earlier KB_ENTRIES state would otherwise silently poison the
+    # flat-in-KB-size comparison (this exact stale-cache class bit two
+    # earlier corpus bench runs)
+    import hashlib
+
+    kb_fp = hashlib.md5(repr(KB_ENTRIES).encode()).hexdigest()[:10]
+    kb5k_path = os.path.join(tempfile.gettempdir(), f"spark_graft_kb5k_{kb_fp}")
     if not os.path.exists(os.path.join(kb5k_path, "_SUCCESS")):
         rows = [(k, lbl, d, list(a)) for k, lbl, d, a in KB_ENTRIES]
         rows += [(f"kb:9{i:04d}", f"extlib{i}",

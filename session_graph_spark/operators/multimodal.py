@@ -153,8 +153,13 @@ def decode_audio(data: bytes) -> dict:
     audio_fmt, n_ch, rate, _, _, bits = fmt
     if audio_fmt != 1 or bits not in (8, 16):
         raise NotImplementedError(f"WAV fmt={audio_fmt} bits={bits}")
-    dt = np.int16 if bits == 16 else np.uint8
-    samples = np.frombuffer(pcm, dtype=dt)
+    if bits == 16:
+        samples = np.frombuffer(pcm, dtype=np.int16)
+    else:
+        # 8-bit PCM is UNSIGNED with 0x80 as the zero level — center it,
+        # or digital silence reads as rms 128 and every file carries a
+        # +128 DC bias
+        samples = np.frombuffer(pcm, dtype=np.uint8).astype(np.int16) - 128
     n = len(samples) // n_ch
     rms = float(np.sqrt(np.mean(samples.astype(np.float64) ** 2))) if n else 0.0
     return {"n_samples": n, "sample_rate": rate, "n_channels": n_ch,
@@ -205,8 +210,13 @@ def extract_features(assets: DataFrame, frames_per_video: int = 3) -> DataFrame:
                         dec.update(n_samples=d["n_samples"],
                                    sample_rate=d["sample_rate"],
                                    duration_ms=d["duration_ms"], rms=d["rms"])
-                except NotImplementedError:
-                    pass  # unknown format: plumbing columns only
+                except Exception:  # noqa: BLE001
+                    # unknown OR MALFORMED media is data, not a bug: a
+                    # truncated BMP raises struct.error, a corrupt PPM
+                    # IndexError, PIL UnidentifiedImageError — none may
+                    # fail the task. Plumbing columns survive, decode
+                    # columns stay null
+                    pass
                 n_frames = frames_per_video if r.kind == "video" else 1
                 for fi in range(n_frames):
                     feat = _fake_decode(data + fi.to_bytes(2, "big"))

@@ -271,27 +271,45 @@ def resolve(
         # it twice (blocking/LSH self-joins) — an unmaterialized cache
         # would be recomputed once per join branch inside the first action
         store = StageStore(spark, None)
-        mentions = mentions_from_turns(turns).cache()
-        store.manifest["mentions"] = {"rows": mentions.count()}
-        labels = normalized_labels(mentions, aliases, min_sessions).cache()
-        store.manifest["labels"] = {"rows": labels.count()}
-        pairs = candidate_pairs(labels, label_col="canon_label", block_col="block_key")
         ctx_holder: list[DataFrame] = []
+        own_caches: list[DataFrame] = []
+        try:
+            mentions = mentions_from_turns(turns).cache()
+            own_caches.append(mentions)
+            store.manifest["mentions"] = {"rows": mentions.count()}
+            labels = normalized_labels(mentions, aliases, min_sessions).cache()
+            own_caches.append(labels)
+            store.manifest["labels"] = {"rows": labels.count()}
+            pairs = candidate_pairs(labels, label_col="canon_label",
+                                    block_col="block_key")
 
-        def _ctx_builder(scored_fresh: DataFrame) -> DataFrame | None:
-            from session_graph_spark.operators.scoring import band_labels
+            def _ctx_builder(scored_fresh: DataFrame) -> DataFrame | None:
+                from session_graph_spark.operators.scoring import band_labels
 
-            ctx = _mention_context(mentions, aliases, labels,
-                                   band_labels(scored_fresh))
-            if ctx is not None:
-                ctx_holder.append(ctx)
-            return ctx
+                ctx = _mention_context(mentions, aliases, labels,
+                                       band_labels(scored_fresh))
+                if ctx is not None:
+                    ctx_holder.append(ctx)
+                return ctx
 
-        scored = score_pairs(
-            pairs, decisions=decisions,
-            context_builder=_ctx_builder if use_context else None,
-        ).cache()
-        store.manifest["scored"] = {"rows": scored.count()}
+            scored = score_pairs(
+                pairs, decisions=decisions,
+                context_builder=_ctx_builder if use_context else None,
+            ).cache()
+            own_caches.append(scored)
+            store.manifest["scored"] = {"rows": scored.count()}
+        except Exception:
+            # a failure mid-build (poison data in extraction, scoring ...)
+            # must not leak the caches materialized before it — the
+            # quarantine path's bisection probes hit this repeatedly and
+            # would otherwise accumulate orphaned cached stages exactly
+            # when memory is already tight
+            for df in own_caches + ctx_holder:
+                try:
+                    df.unpersist()
+                except Exception:  # noqa: BLE001
+                    pass
+            raise
         for c in ctx_holder:
             c.unpersist()  # scored is materialized; the ctx cache is dead
         edges = match_edges(scored, threshold)

@@ -81,10 +81,16 @@ def write_serving_table(df: DataFrame, path: str, expect_min_rows: int = 1) -> i
         return set(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
 
     def _table_count() -> int:
+        from pyspark.errors import AnalysisException
+
         try:
             return spark.read.parquet(path).count()
-        except Exception:  # noqa: BLE001 - table does not exist yet
+        except AnalysisException:  # table does not exist yet
             return 0
+        # any OTHER failure (throttling, transient IO) propagates: folding
+        # it into 0 would corrupt the before/after delta — a pre-append
+        # read glitch would over-report the appended rows and wave a
+        # partial append through the expect_min_rows verify
 
     if is_local:
         before = _files() if os.path.isdir(path) else set()

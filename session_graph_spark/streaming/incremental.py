@@ -121,6 +121,11 @@ class IncrementalRunner:
             todo = wm
         todo = todo.cache()
         if todo.count() == 0:
+            # steady-state no-op path needs the same cache hygiene as the
+            # other exits: a service polling an unchanged corpus would
+            # otherwise accumulate two cached frames per poll
+            wm.unpersist()
+            todo.unpersist()
             return self.spark.createDataFrame(
                 [], "conv_id string, canon_label string, cluster_id string"
             )
@@ -219,20 +224,44 @@ class IncrementalRunner:
 
         probe(conv_ids)
 
+        def resolve_committed(ids: list[str]) -> DataFrame:
+            res = self._resolve(subset_of(ids))
+            chk = res.mention_clusters.select(
+                "conv_id", "canon_label", "cluster_id"
+            ).localCheckpoint(eager=True)
+            res.unpersist()
+            return chk
+
+        empty = self.spark.createDataFrame(
+            [], "conv_id string, canon_label string, cluster_id string"
+        )
         healthy = [c for c in conv_ids if c not in {b for b, _ in bad}]
         if healthy:
             # one combined resolve over every healthy conversation: the
             # committed assignment is identical to a batch that never
             # contained the poison conversations
-            res = self._resolve(subset_of(healthy))
-            out = res.mention_clusters.select(
-                "conv_id", "canon_label", "cluster_id"
-            ).localCheckpoint(eager=True)
-            res.unpersist()
+            try:
+                out = resolve_committed(healthy)
+            except Exception:  # noqa: BLE001 - batch-SCALE failure
+                # the combined set failed even though every conversation
+                # passed its probe (memory/scale or cross-conversation
+                # interaction — bisection cannot localize it). Degraded
+                # emergency path: resolve each conversation alone so
+                # healthy data still commits (cross-conversation merges
+                # are lost for this batch; the next content change
+                # re-resolves them together), quarantining any conv that
+                # fails even solo
+                parts_out = []
+                for c in healthy:
+                    try:
+                        parts_out.append(resolve_committed([c]))
+                    except Exception as exc:  # noqa: BLE001
+                        bad.append((c, str(exc)[:500]))
+                out = empty
+                for p_df in parts_out:
+                    out = out.unionByName(p_df)
         else:
-            out = self.spark.createDataFrame(
-                [], "conv_id string, canon_label string, cluster_id string"
-            )
+            out = empty
         # replaced set = ALL todo convs: healthy ones get fresh rows,
         # poison ones get their stale rows dropped
         self._merge_overwrite(self._clusters_path, out, todo.select("conv_id"))
@@ -277,7 +306,12 @@ class IncrementalRunner:
                 .mode("overwrite").parquet(path)
             self.spark.catalog.refreshByPath(path)
             return
-        parts = self._parts_of(replaced_convs)
+        # touched partitions = replaced convs' AND new rows' — a new_rows
+        # conv the caller forgot to list in replaced_convs still lands
+        # (true upsert); without the union its staged partition would be
+        # silently dropped by the swap loop
+        parts = sorted(set(self._parts_of(replaced_convs))
+                       | set(self._parts_of(new_rows)))
         if not parts:
             return
         existing = self.spark.read.parquet(path)

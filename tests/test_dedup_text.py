@@ -222,6 +222,17 @@ def test_native_audio_codec_roundtrip():
     assert decode_audio(encode_wav(mixed))["rms"] == float(np.sqrt(12.5))
     with pt.raises(NotImplementedError):
         decode_audio(b"OggS-not-wav")
+    # 8-bit PCM is unsigned with 0x80 as zero: digital silence must be
+    # rms 0, not 128 (DC offset centered)
+    import struct as st
+
+    silence8 = (
+        st.pack("<4sI4s", b"RIFF", 36 + 4, b"WAVE")
+        + st.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, 8000, 8000, 1, 8)
+        + st.pack("<4sI", b"data", 4) + b"\x80\x80\x80\x80"
+    )
+    d8 = decode_audio(silence8)
+    assert d8["rms"] == 0.0 and d8["n_samples"] == 4
 
 
 def test_extract_features_decodes_real_media(spark):
@@ -239,7 +250,13 @@ def test_extract_features_decodes_real_media(spark):
         [(1, "image", bytearray(encode_bmp(px))),
          (2, "audio", bytearray(encode_wav(wav, 8000))),
          (3, "image", bytearray(b"not-an-image")),
-         (4, "video", bytearray(b"fake-video-bytes"))],
+         (4, "video", bytearray(b"fake-video-bytes")),
+         # MALFORMED media with a recognized magic: a truncated BMP, a
+         # corrupt PPM, and a truncated RIFF raise struct/Index errors in
+         # the decoders — the task must survive with null decode columns
+         (5, "image", bytearray(b"BM\x10\x00")),
+         (6, "image", bytearray(b"P6\ngarbage")),
+         (7, "audio", bytearray(b"RIFF\x04\x00\x00\x00WAVE"))],
         "asset_id long, kind string, media binary",
     )
     rows = {r["asset_id"]: r for r in extract_features(assets).collect()
@@ -250,6 +267,9 @@ def test_extract_features_decodes_real_media(spark):
     assert rows[2]["duration_ms"] == 2
     assert rows[3]["width"] is None  # unknown format: plumbing only
     assert rows[4]["width"] is None  # video: per-frame fan-out, no decode
+    for bad_id in (5, 6, 7):  # malformed media: no crash, plumbing intact
+        assert rows[bad_id]["width"] is None and rows[bad_id]["rms"] is None
+        assert rows[bad_id]["n_bytes"] > 0
     assert rows[1]["n_bytes"] == 54 + 3 * ((3 * 4 + 3) // 4 * 4)
     assert rows[2]["n_bytes"] == 44 + 2 * 16
 

@@ -348,6 +348,63 @@ def test_incremental_changed_conversation(spark, tmp_path):
     assert out3.count() == 0
 
 
+def test_quarantine_batch_scale_failure_degrades_per_conv(spark, tmp_path):
+    """When the COMBINED healthy set fails even though every conversation
+    probes clean (batch-scale failure — bisection cannot localize it),
+    the quarantine path must degrade to per-conversation resolves so
+    healthy data still commits, instead of letting the exception escape
+    and commit nothing."""
+    from session_graph_spark import corpus
+    from session_graph_spark.plans.pipeline import resolve
+    from session_graph_spark.streaming.incremental import IncrementalRunner
+
+    turns = corpus.generate_turns(spark, n_convs=4, seed=42).cache()
+    # subagent conversations are dropped by the pipeline's P9 filter and
+    # never produce mention-cluster rows
+    n_convs = (turns.select("conv_id").distinct()
+               .where(~F.col("conv_id").endswith("-sub")).count())
+
+    def scale_limited_resolve(t):
+        if t.select("conv_id").distinct().count() > 1:
+            raise RuntimeError("simulated batch-scale OOM")
+        return resolve(spark, t, min_sessions=1)
+
+    r = IncrementalRunner(spark, str(tmp_path / "state"),
+                          resolve_fn=scale_limited_resolve)
+    out = r.run(turns)
+    committed = {x[0] for x in out.select("conv_id").distinct().collect()}
+    assert len(committed) == n_convs  # every conv committed solo
+    dlq = r.quarantined()
+    assert dlq is None or dlq.count() == 0  # nothing quarantined
+    # watermarked: identical re-run is a no-op
+    assert r.run(turns).count() == 0
+    turns.unpersist()
+
+
+def test_merge_overwrite_upserts_unlisted_new_convs(spark, tmp_path):
+    """_merge_overwrite is a true upsert: a new_rows conversation the
+    caller did NOT list in replaced_convs still lands (its partition is
+    included in the touched set), instead of being silently dropped by
+    the partition swap."""
+    from session_graph_spark.streaming.incremental import IncrementalRunner
+
+    runner = IncrementalRunner(spark, str(tmp_path / "state"), n_parts=4)
+    path = str(tmp_path / "state" / "clusters")
+    first = spark.createDataFrame(
+        [("conv-a", "l1", "c1")],
+        "conv_id string, canon_label string, cluster_id string")
+    runner._merge_overwrite(path, first, first.select("conv_id"))
+    # second merge: new conv-b rows but replaced_convs mentions only conv-a
+    second = spark.createDataFrame(
+        [("conv-a", "l2", "c2"), ("conv-b", "l3", "c3")],
+        "conv_id string, canon_label string, cluster_id string")
+    runner._merge_overwrite(
+        path, second,
+        spark.createDataFrame([("conv-a",)], "conv_id string"))
+    got = sorted(map(tuple, runner.clusters().collect()))
+    assert got == [("conv-a", "l2", "c2"), ("conv-b", "l3", "c3")]
+
+
 def test_merge_overwrite_matches_naive_reference(spark, tmp_path):
     """Property: a random sequence of partition-scoped MERGEs produces
     exactly the table a naive full-rewrite upsert would — across new
