@@ -557,7 +557,20 @@ def kb_df(spark: SparkSession, path: str | None = None) -> DataFrame:
                    ("kb_id", "kb_label", "description", "aliases")} - set(df.columns)
         if missing:
             raise ValueError(f"external KB at {path} lacks columns {sorted(missing)}")
-        return df.select("kb_id", "kb_label", "description", "aliases")
+        df = df.select("kb_id", "kb_label", "description", "aliases")
+        # validate TYPES too, not just names: an aliases column that is a
+        # csv string passes a name check and then fails deep inside the
+        # linkers' explode — surface the contract violation at load time.
+        # simpleString comparison deliberately ignores nullability.
+        expected = spark.createDataFrame([], KB_SCHEMA).schema
+        for f in expected.fields:
+            actual = df.schema[f.name].dataType
+            if actual.simpleString() != f.dataType.simpleString():
+                raise ValueError(
+                    f"external KB at {path}: column {f.name} has type "
+                    f"{actual.simpleString()}, expected {f.dataType.simpleString()}"
+                )
+        return df
     return spark.createDataFrame(
         [(k, lbl, d, list(a)) for k, lbl, d, a in KB_ENTRIES], KB_SCHEMA
     )

@@ -351,13 +351,24 @@ def resolve(
                 ctx_holder.append(ctx)
             return ctx
 
-        scored = store.stage(
-            "scored", f"{labels_fp}:dec={decisions_fp}:ctx={ctx_key}",
-            lambda: score_pairs(
-                pairs, decisions=decisions,
-                context_builder=_ctx_builder if use_context else None,
-            ),
-        )
+        try:
+            scored = store.stage(
+                "scored", f"{labels_fp}:dec={decisions_fp}:ctx={ctx_key}",
+                lambda: score_pairs(
+                    pairs, decisions=decisions,
+                    context_builder=_ctx_builder if use_context else None,
+                ),
+            )
+        except Exception:
+            # mirror the fast path's cleanup: a stage failure after
+            # _ctx_builder cached the context frame must not leak one
+            # cached DataFrame per attempt on the quarantine bisection path
+            for c in ctx_holder:
+                try:
+                    c.unpersist()
+                except Exception:  # noqa: BLE001
+                    pass
+            raise
         for c in ctx_holder:
             c.unpersist()  # scored stage is parquet-materialized
         edges = match_edges(scored, threshold)

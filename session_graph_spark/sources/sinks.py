@@ -58,6 +58,16 @@ def write_turtle(reified: DataFrame, path: str) -> None:
         .write.mode("overwrite").text(path)
 
 
+def _has_uri_scheme(path: str) -> bool:
+    """True for any scheme-prefixed path (file:/, hdfs://x, s3a:/x —
+    Hadoop accepts single-slash URI forms too). Such paths are not
+    driver-glob-listable, so the append verify must use the count-delta
+    fallback."""
+    import re
+
+    return re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:/", path) is not None
+
+
 def write_serving_table(df: DataFrame, path: str, expect_min_rows: int = 1) -> int:
     """S8 analog: append to the serving table and verify the APPENDED
     batch with a count over only the newly written files — the reference's
@@ -75,7 +85,7 @@ def write_serving_table(df: DataFrame, path: str, expect_min_rows: int = 1) -> i
     import os
 
     spark = df.sparkSession
-    is_local = "://" not in path and not path.startswith("file:/")
+    is_local = not _has_uri_scheme(path)
 
     def _files() -> set[str]:
         return set(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))

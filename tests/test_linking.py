@@ -292,6 +292,15 @@ def test_external_kb_dimension(spark, tmp_path):
     spark.createDataFrame([(1,)], ["x"]).write.parquet(bad)
     with pytest.raises(ValueError, match="lacks columns"):
         kb_df(spark, path=bad)
+    # ... and a right-names/wrong-TYPES table (aliases as a csv string)
+    # fails at load, not deep inside a linker explode
+    badtype = str(tmp_path / "badtype")
+    spark.createDataFrame(
+        [("kb:1", "x", "d", "a,b")],
+        "kb_id string, kb_label string, description string, aliases string",
+    ).write.parquet(badtype)
+    with pytest.raises(ValueError, match="aliases has type string"):
+        kb_df(spark, path=badtype)
 
 
 def test_link_clusters_consumes_context(spark):

@@ -127,6 +127,29 @@ def test_serving_table_sink(spark, ctx, tmp_path):
         write_serving_table(mentions.limit(3), str(tmp_path / "serve"), 5)
 
 
+def test_uri_scheme_classification(spark, ctx, tmp_path):
+    """Scheme detection drives the verify strategy: single-slash Hadoop
+    URI forms (hdfs:/x, s3a:/x) are NOT driver-listable and must route to
+    the count-delta fallback — the old '://' test misclassified them and
+    failed successful writes. A file:/ URI over a local dir exercises the
+    fallback end-to-end."""
+    from session_graph_spark.sources.sinks import (_has_uri_scheme,
+                                                   write_serving_table)
+
+    for p in ("hdfs:/x", "hdfs://nn/x", "s3a:/bucket/k", "file:/tmp/t",
+              "s3a://bucket/k", "abfss://c@a.dfs.core.windows.net/p"):
+        assert _has_uri_scheme(p), p
+    for p in ("/data/serve", "relative/dir", "serve"):
+        assert not _has_uri_scheme(p), p
+
+    _, mentions = ctx
+    uri = "file:" + str(tmp_path / "serve_uri")
+    n = write_serving_table(mentions.limit(7), uri, 7)
+    assert n == 7
+    n2 = write_serving_table(mentions.limit(7), uri, 7)
+    assert n2 == 7  # delta count, not cumulative
+
+
 def test_streaming_windowed_agg(spark, tmp_path):
     """ST smoke: file-source stream -> watermark + tumbling window agg ->
     memory sink, drained synchronously with AvailableNow."""
