@@ -19,6 +19,10 @@ rule requires no event-time windowing).
 
 from __future__ import annotations
 
+import json
+import os
+import shutil
+import warnings
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -53,6 +57,12 @@ class IncrementalRunner:
         # (at 10^12 turns: thousands, not 16 — it only changes the
         # directory fan-out, not the plan shape)
         self.n_parts = n_parts
+        # fail fast if any existing state table was written under a
+        # different n_parts: part = pmod(xxhash64(conv_id), n_parts), so a
+        # mismatched runner would compute different partitions for the
+        # same conv_id and merge around stale rows it can never see
+        for p in (self._wm_path, self._clusters_path, self._dlq_path):
+            self._load_manifest(p)
         # injectable for fault-handling tests; production default is the
         # real pipeline
         self._resolve = resolve_fn or (
@@ -77,19 +87,99 @@ class IncrementalRunner:
         "quarantine": "conv_id string, content_hash string, error string",
     }
 
-    def _read_state(self, path: str) -> DataFrame | None:
-        """Read a partitioned state table, hiding the internal hash-
-        bucket column from callers. A table whose last rows were merged
-        away (e.g. a fully-healed quarantine) has no parquet files left
-        to infer a schema from — return a typed empty DataFrame, not an
-        error."""
-        p = Path(path)
-        if not p.exists():
+    # ---------------------------------------------------------------
+    # generation-pointer state-store protocol
+    #
+    # Layout:   <table>/_MANIFEST.json          (the atomic pointer)
+    #           <table>/gen=<g>/part=<p>/*.parquet   (immutable data)
+    #
+    # The manifest maps each hash partition to the generation that holds
+    # its current rows. A merge writes the touched partitions into a NEW
+    # generation directory, then commits by atomically replacing the
+    # manifest (write tmp + fsync + os.replace — one rename is the whole
+    # commit). Readers resolve the manifest, so a crash at ANY point
+    # before the replace leaves the complete pre-merge state visible;
+    # uncommitted generation directories are detected and garbage-
+    # collected (with a warning) by the next merge. This is the local-FS
+    # analog of Iceberg's metadata-pointer commit (the production target;
+    # no Iceberg runtime jar in this sandbox, BASELINE.md).
+    # ---------------------------------------------------------------
+
+    def _load_manifest(self, path: str) -> dict | None:
+        f = Path(path) / "_MANIFEST.json"
+        if not f.exists():
             return None
-        if not any(p.rglob("*.parquet")):
-            return self.spark.createDataFrame([], self._STATE_SCHEMAS[p.name])
-        df = self.spark.read.parquet(path)
-        return df.drop("part") if "part" in df.columns else df
+        man = json.loads(f.read_text())
+        if man["n_parts"] != self.n_parts:
+            raise ValueError(
+                f"state table {path} was written with n_parts="
+                f"{man['n_parts']} but this runner was opened with "
+                f"n_parts={self.n_parts}; partition assignment is "
+                "pmod(xxhash64(conv_id), n_parts), so merging under a "
+                "different n_parts would rewrite the wrong partitions "
+                "and leave stale rows behind. Reopen with the original "
+                "n_parts (or rewrite the state dir)."
+            )
+        return man
+
+    def _commit_manifest(self, path: str, man: dict) -> None:
+        """THE commit point: one atomic rename of the pointer file."""
+        tmp = Path(path) / "_MANIFEST.json.tmp"
+        with open(tmp, "w") as fh:
+            fh.write(json.dumps(man, sort_keys=True))
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, Path(path) / "_MANIFEST.json")
+        # fsync the directory so the rename itself is durable
+        dirfd = os.open(path, os.O_RDONLY)
+        try:
+            os.fsync(dirfd)
+        finally:
+            os.close(dirfd)
+
+    def _gc_unreferenced(self, path: str, man: dict, pre_write: bool = False) -> None:
+        """Remove every gen=*/part=* directory the manifest does not
+        reference: superseded partitions after a commit, and — on the
+        pre_write pass — uncommitted leftovers of a crashed merge, which
+        are surfaced with a warning rather than silently overwritten
+        (the manifest never referenced them, so discarding them IS the
+        rollback to the last committed state)."""
+        ref = {(int(g), int(k)) for k, g in man["parts"].items()}
+        for gd in Path(path).glob("gen=*"):
+            g = int(gd.name.split("=", 1)[1])
+            for pd in gd.glob("part=*"):
+                q = int(pd.name.split("=", 1)[1])
+                if (g, q) not in ref:
+                    if pre_write:
+                        warnings.warn(
+                            f"state table {path}: discarding uncommitted "
+                            f"partition {gd.name}/{pd.name} left by a "
+                            "crashed merge (rolling back to the committed "
+                            "manifest)", stacklevel=2)
+                    shutil.rmtree(pd, ignore_errors=True)
+            if not any(gd.glob("part=*")):
+                shutil.rmtree(gd, ignore_errors=True)
+
+    def _part_dirs(self, path: str, man: dict, parts: list[int] | None = None
+                   ) -> list[str]:
+        cur = {int(k): g for k, g in man["parts"].items()}
+        keys = sorted(cur) if parts is None else [q for q in parts if q in cur]
+        return [str(Path(path) / f"gen={cur[q]}" / f"part={q}") for q in keys]
+
+    def _read_state(self, path: str) -> DataFrame | None:
+        """Read a state table via its manifest, hiding the internal gen/
+        hash-bucket partition columns from callers. A table whose last
+        rows were merged away (e.g. a fully-healed quarantine) has an
+        empty partition map — return a typed empty DataFrame, not an
+        error."""
+        man = self._load_manifest(path)
+        if man is None:
+            return None
+        dirs = self._part_dirs(path, man)
+        if not dirs:
+            return self.spark.createDataFrame([], self._STATE_SCHEMAS[Path(path).name])
+        df = self.spark.read.option("basePath", path).parquet(*dirs)
+        return df.drop("gen", "part")
 
     def processed(self) -> DataFrame | None:
         return self._read_state(self._wm_path)
@@ -295,65 +385,65 @@ class IncrementalRunner:
 
     def _merge_overwrite(self, path: str, new_rows: DataFrame,
                          replaced_convs: DataFrame) -> None:
-        """Partition-scoped upsert over a conv_id-keyed state table (the
-        Iceberg MERGE INTO analog): state tables are hash-partitioned by
-        pmod(xxhash64(conv_id), n_parts); a merge reads and rewrites ONLY
-        the partitions containing replaced conversations (partition-
-        pruned scan + per-partition swap), so each batch costs
-        O(batch + touched partitions) — never a full-table rewrite."""
-        if not Path(path).exists() or not any(Path(path).rglob("*.parquet")):
-            self._with_part(new_rows).write.partitionBy("part") \
-                .mode("overwrite").parquet(path)
-            self.spark.catalog.refreshByPath(path)
-            return
+        """Partition-scoped, CRASH-ATOMIC upsert over a conv_id-keyed
+        state table (the Iceberg MERGE INTO analog): state tables are
+        hash-partitioned by pmod(xxhash64(conv_id), n_parts); a merge
+        reads ONLY the partitions containing replaced conversations
+        (manifest-resolved path list, so the scan is partition-pruned by
+        construction), writes the merged partitions into a fresh
+        generation directory, and commits with one atomic manifest
+        rename — so each batch costs O(batch + touched partitions),
+        never a full-table rewrite, and a crash at any point leaves the
+        complete pre-merge state visible. An empty merged partition
+        simply drops out of the new manifest (the partition-delete case
+        Spark's dynamic overwrite gets wrong)."""
+        p = Path(path)
+        p.mkdir(parents=True, exist_ok=True)
+        man = self._load_manifest(path) or {
+            "version": 1, "n_parts": self.n_parts, "gen": 0, "parts": {},
+        }
+        # crash recovery: drop (loudly) any generation directories a
+        # crashed merge left behind but never committed
+        self._gc_unreferenced(path, man, pre_write=True)
         # touched partitions = replaced convs' AND new rows' — a new_rows
         # conv the caller forgot to list in replaced_convs still lands
-        # (true upsert); without the union its staged partition would be
-        # silently dropped by the swap loop
+        # (true upsert); without the union its partition would silently
+        # keep the old generation in the new manifest
         parts = sorted(set(self._parts_of(replaced_convs))
                        | set(self._parts_of(new_rows)))
         if not parts:
             return
-        existing = self.spark.read.parquet(path)
-        kept = (
-            existing.where(F.col("part").isin([int(p) for p in parts]))
-            .drop("part")
-            .join(F.broadcast(replaced_convs), "conv_id", "left_anti")
-        )
-        merged = self._with_part(kept.unionByName(new_rows))
-        self._overwrite_partitions(path, merged, parts)
-
-    def _overwrite_partitions(self, path: str, df: DataFrame,
-                              parts: list[int]) -> None:
-        """Dynamic-partition-overwrite with the empty-partition case
-        handled (Spark's dynamic mode leaves a partition's old files in
-        place when the new data has no rows for it — wrong for a MERGE
-        that deletes a partition's last rows): stage the touched
-        partitions to a sibling directory, then swap each partition
-        directory in. NOT crash-atomic across partitions — a failure
-        mid-swap leaves some partitions new and some old (each single
-        swap is an rm + rename). Iceberg's metadata-pointer commit is the
-        production fix; this sandbox has no Iceberg runtime jar
-        (BASELINE.md), and the analog assumes a local-filesystem state
-        store (the only kind this sandbox has)."""
-        import shutil
-
-        staging = path + ".staging"
-        df.write.partitionBy("part").mode("overwrite").parquet(staging)
-        for p in parts:
-            dst = Path(path) / f"part={p}"
-            src = Path(staging) / f"part={p}"
-            if dst.exists():
-                shutil.rmtree(dst)
-            if src.exists():
-                src.rename(dst)
-        shutil.rmtree(staging, ignore_errors=True)
-        # the swap happened at filesystem level, invisible to Spark: a
-        # Spark-level overwrite would have invalidated cached plans that
-        # scan this path (CacheManager.recacheByPath), the rename does
-        # not — without this refresh, the NEXT batch's todo anti-join is
-        # served from the PREVIOUS batch's cached plan and re-processes
-        # the same conversations forever
+        touched_dirs = self._part_dirs(path, man, parts)
+        if touched_dirs:
+            kept = (
+                self.spark.read.option("basePath", path).parquet(*touched_dirs)
+                .drop("gen", "part")
+                .join(F.broadcast(replaced_convs), "conv_id", "left_anti")
+            )
+            merged = kept.unionByName(new_rows)
+        else:
+            merged = new_rows
+        next_gen = man["gen"] + 1
+        gen_dir = p / f"gen={next_gen}"
+        self._with_part(merged).write.partitionBy("part") \
+            .mode("overwrite").parquet(str(gen_dir))
+        written = {int(d.name.split("=", 1)[1])
+                   for d in gen_dir.glob("part=*") if d.is_dir()}
+        new_parts = {int(k): g for k, g in man["parts"].items()
+                     if int(k) not in set(parts)}
+        new_parts.update({q: next_gen for q in written})
+        self._commit_manifest(path, {
+            "version": 1, "n_parts": self.n_parts, "gen": next_gen,
+            "parts": {str(k): new_parts[k] for k in sorted(new_parts)},
+        })
+        # post-commit GC of the superseded partition directories; a crash
+        # here only leaves unreferenced dirs for the next pre-write pass
+        self._gc_unreferenced(path, {"parts": {str(k): new_parts[k]
+                                               for k in new_parts}})
+        # the manifest swap is invisible to Spark's CacheManager: without
+        # this refresh the NEXT batch's todo anti-join can be served from
+        # the PREVIOUS batch's cached plan (matched by canonicalized
+        # plan!) and re-process the same conversations forever
         self.spark.catalog.refreshByPath(path)
 
 

@@ -498,10 +498,16 @@ def test_incremental_merge_rewrites_only_touched_partitions(spark, tmp_path):
     runner.run(turns1)
 
     def snapshot(table):
+        # parquet data files only: the _MANIFEST.json pointer is REQUIRED
+        # to change on every commit (it IS the commit), and _SUCCESS
+        # markers live at generation scope — the O(batch) contract is
+        # about the immutable data files
         root = tmp_path / "state" / table
         files = {}
         for dirpath, _, names in os.walk(root):
             for n in names:
+                if not n.endswith(".parquet"):
+                    continue
                 p = os.path.join(dirpath, n)
                 st = os.stat(p)
                 files[os.path.relpath(p, root)] = (st.st_ino, st.st_mtime_ns,
@@ -552,6 +558,81 @@ def test_incremental_merge_rewrites_only_touched_partitions(spark, tmp_path):
     want = sorted(map(tuple, out2.collect()))
     assert got == want
     turns1.unpersist()
+
+
+def test_state_store_commit_is_crash_atomic(spark, tmp_path):
+    """The generation-pointer protocol: a merge that dies at ANY point
+    before the single manifest rename leaves the complete PRE-merge state
+    visible — no half-old/half-new table — and the next merge detects the
+    uncommitted leftovers (warning), rolls them back, and commits
+    cleanly."""
+    import warnings as _warnings
+
+    from session_graph_spark.streaming.incremental import IncrementalRunner
+
+    runner = IncrementalRunner(spark, str(tmp_path / "state"), n_parts=4)
+    path = str(tmp_path / "state" / "clusters")
+    schema = "conv_id string, canon_label string, cluster_id string"
+    first = spark.createDataFrame(
+        [(f"conv-{i}", f"l{i}", f"c{i}") for i in range(8)], schema)
+    runner._merge_overwrite(path, first, first.select("conv_id"))
+    committed = sorted(map(tuple, runner.clusters().collect()))
+    assert len(committed) == 8
+
+    # crash INJECTION: die after the new generation's data files are fully
+    # written but before the pointer rename (the worst case — every
+    # partition directory exists twice)
+    real_commit = runner._commit_manifest
+
+    def dying_commit(p, man):
+        raise OSError("injected crash before manifest rename")
+
+    runner._commit_manifest = dying_commit
+    second = spark.createDataFrame(
+        [(f"conv-{i}", f"l{i}x", "c-new") for i in range(8)], schema)
+    with pytest.raises(OSError, match="injected crash"):
+        runner._merge_overwrite(path, second, second.select("conv_id"))
+    # readers see the COMPLETE pre-merge state, not a partial swap
+    assert sorted(map(tuple, runner.clusters().collect())) == committed
+
+    # recovery: the next merge warns about the uncommitted generation,
+    # discards it, and the retried merge lands exactly
+    runner._commit_manifest = real_commit
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        runner._merge_overwrite(path, second, second.select("conv_id"))
+    assert any("uncommitted" in str(w.message) for w in caught)
+    got = sorted(map(tuple, runner.clusters().collect()))
+    assert got == sorted(map(tuple, second.collect()))
+    # no stray generation directories survive recovery + GC
+    import os as _os
+    gens = sorted(d for d in _os.listdir(path) if d.startswith("gen="))
+    man_gens = {f"gen={g}" for g in
+                {v for v in __import__("json").loads(
+                    (tmp_path / "state" / "clusters" / "_MANIFEST.json")
+                    .read_text())["parts"].values()}}
+    assert set(gens) == man_gens
+
+
+def test_state_store_n_parts_pinned(spark, tmp_path):
+    """n_parts is part of the on-disk contract: partition assignment is
+    pmod(xxhash64(conv_id), n_parts), so reopening a state dir under a
+    different n_parts would merge around rows it can never see. The
+    manifest pins it and the runner fails fast on mismatch."""
+    from session_graph_spark.streaming.incremental import IncrementalRunner
+
+    runner = IncrementalRunner(spark, str(tmp_path / "state"), n_parts=4)
+    path = str(tmp_path / "state" / "clusters")
+    df = spark.createDataFrame(
+        [("conv-a", "l1", "c1")],
+        "conv_id string, canon_label string, cluster_id string")
+    runner._merge_overwrite(path, df, df.select("conv_id"))
+    # same n_parts reopens fine
+    again = IncrementalRunner(spark, str(tmp_path / "state"), n_parts=4)
+    assert again.clusters().count() == 1
+    # different n_parts is rejected at open, not after a corrupting merge
+    with pytest.raises(ValueError, match="n_parts=4"):
+        IncrementalRunner(spark, str(tmp_path / "state"), n_parts=8)
 
 
 def test_stateful_conversation_stream(spark, tmp_path):
