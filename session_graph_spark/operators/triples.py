@@ -45,16 +45,22 @@ def build_triples(mentions: DataFrame, turns: DataFrame) -> dict[str, DataFrame]
     """mentions (conv_id, turn_idx, canon_label, pos, ts) + turns (for the
     text cue scan) -> {'edges', 'reified'} DataFrames.
 
-    The predicate is chosen PER PAIR, not once per turn (the reference
-    picks a predicate per triple, triple_extraction.py:265-333, normalized
-    at :348-374): ALL cue matches in the turn are extracted in order
-    (regexp_extract_all) and pair i takes the i-th cue, clamped to the
-    last one — so 'X uses Y. Z solves W.' emits uses(X,Y) and
-    solves(Z,W), where the old single-extract applied 'uses' to both.
-    Mention pairs and cue occurrences both advance left-to-right through
-    the turn, so index alignment is the order-based stand-in for
-    'the cue between/nearest the pair' (mentions carry occurrence order,
-    not char offsets). Turns with no cue fall back to relatedTo."""
+    The predicate is chosen PER PAIR by char offset (the reference picks
+    a predicate per triple, triple_extraction.py:265-333, normalized at
+    :348-374): ALL cue matches in the turn are extracted in order
+    (regexp_extract_all), their char offsets recovered with a sequential
+    locate fold (same left-to-right, non-overlapping walk as the regex),
+    and each mention's offset is its first occurrence in the lowered
+    text. A pair takes the cue whose offset lies BETWEEN the subject and
+    object offsets; if none, the nearest cue to the LEFT of the pair;
+    else relatedTo — so 'A and B; C uses D' emits relatedTo(A,B) and
+    uses(C,D), where index alignment applied 'uses' to both. When a
+    mention's offset is unrecoverable (canonical label differs from the
+    surface form, e.g. an alias like k8s->kubernetes), the pair falls
+    back to order-based alignment (pair i takes cue min(i, last)).
+    Everything is JVM-side codegen: locate folds via higher-order
+    aggregate, no UDF, no extra shuffle. Turns with no cue fall back to
+    relatedTo."""
     m = mentions.select("conv_id", "turn_idx", "canon_label", "pos", "ts")
     nxt = m.select(
         "conv_id", "turn_idx",
@@ -69,27 +75,54 @@ def build_triples(mentions: DataFrame, turns: DataFrame) -> dict[str, DataFrame]
     )
     cues = turns.select(
         "conv_id", "turn_idx",
+        F.lower("text").alias("__lt"),
         F.regexp_extract_all(F.lower("text"), F.lit(_CUE_RE), F.lit(1))
         .alias("cue_list"),
+    ).withColumn(
+        # offsets of the i-th cue occurrence: fold locate() forward from
+        # each previous match end — the same left-to-right non-overlapping
+        # scan the extraction regex performed (1-based; 0 never occurs
+        # because every cue was extracted from this exact text)
+        "cue_offs",
+        F.expr(
+            "aggregate(cue_list,"
+            " named_struct('frm', 1, 'offs', cast(array() as array<int>)),"
+            " (acc, c) -> named_struct("
+            "   'frm', locate(c, __lt, acc.frm) + length(c),"
+            "   'offs', array_append(acc.offs, locate(c, __lt, acc.frm))),"
+            " acc -> acc.offs)"
+        ),
     )
     cue_map = F.create_map(
         *[F.lit(x) for kv in CUE_PREDICATES.items() for x in kv]
     )
     n_cues = F.size("cue_list")
-    pair_cue = F.when(
+    s_off = F.expr("locate(subject, __lt)")
+    o_off = F.expr("locate(object, __lt)")
+    lo, hi = F.least(s_off, o_off), F.greatest(s_off, o_off)
+    z = F.arrays_zip("cue_list", "cue_offs")
+    between = F.filter(z, lambda x: (x["cue_offs"] > lo) & (x["cue_offs"] < hi))
+    leftof = F.filter(z, lambda x: x["cue_offs"] <= lo)
+    offset_cue = F.when(
+        F.size(between) > 0, F.element_at(between, 1)["cue_list"]
+    ).when(
+        F.size(leftof) > 0, F.element_at(leftof, -1)["cue_list"]
+    )
+    order_cue = F.when(
         n_cues > 0,
         F.element_at(
             "cue_list",
             F.least(F.col("pos") + 1, n_cues).cast("int"),
         ),
     )
+    pair_cue = F.when((s_off > 0) & (o_off > 0), offset_cue).otherwise(order_cue)
     with_pred = (
         pairs.join(cues, ["conv_id", "turn_idx"], "left")
         .withColumn(
             "predicate",
             F.coalesce(cue_map[pair_cue], F.lit("relatedTo")),
         )
-        .drop("cue_list", "pos")
+        .drop("cue_list", "cue_offs", "__lt", "pos")
     )
     reified = with_pred.withColumn(
         "triple_id",

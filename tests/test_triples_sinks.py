@@ -42,39 +42,81 @@ def test_build_triples(spark, ctx):
            sorted(map(tuple, reified.select("triple_id").collect()))
 
 
+def _mention_rows(spark, conv, labels):
+    return spark.createDataFrame(
+        [(conv, 0, lbl, i, None) for i, lbl in enumerate(labels)],
+        "conv_id string, turn_idx int, canon_label string, pos int, ts timestamp",
+    )
+
+
+def _turn_row(spark, conv, text):
+    return spark.createDataFrame(
+        [(conv, 0, text, None)],
+        "conv_id string, turn_idx int, text string, ts timestamp",
+    )
+
+
 def test_per_pair_cue_predicates(spark):
     """A turn with two cues must emit DIFFERENT predicates for its two
     mention pairs (the reference chooses a predicate per triple, not per
     turn): 'X uses Y. Z solves W.' -> uses(X,Y) and solves(Z,W)."""
-    turns = spark.createDataFrame(
-        [("c1", 0, "alpha uses beta for ingest. gamma solves delta nicely.",
-          None)],
-        "conv_id string, turn_idx int, text string, ts timestamp",
-    )
-    mentions = spark.createDataFrame(
-        [("c1", 0, "alpha", 0, None), ("c1", 0, "beta", 1, None),
-         ("c1", 0, "gamma", 2, None), ("c1", 0, "delta", 3, None)],
-        "conv_id string, turn_idx int, canon_label string, pos int, ts timestamp",
-    )
+    turns = _turn_row(
+        spark, "c1", "alpha uses beta for ingest. gamma solves delta nicely.")
+    mentions = _mention_rows(spark, "c1", ["alpha", "beta", "gamma", "delta"])
     edges = build_triples(mentions, turns)["edges"]
     got = {(r["subject"], r["object"]): r["predicate"] for r in edges.collect()}
     assert got[("alpha", "beta")] == "uses"
     assert got[("gamma", "delta")] == "solves"
-    # the middle cross-sentence pair clamps to the nearest (last) cue
-    assert got[("beta", "gamma")] == "solves"
+    # the cross-sentence pair has no cue between beta and gamma: the
+    # nearest cue to its LEFT ('uses') applies
+    assert got[("beta", "gamma")] == "uses"
     # single-cue turn still applies that cue; cueless falls back
-    turns2 = spark.createDataFrame(
-        [("c2", 0, "alpha requires beta and gamma together here ok.", None)],
-        "conv_id string, turn_idx int, text string, ts timestamp",
-    )
-    mentions2 = spark.createDataFrame(
-        [("c2", 0, "alpha", 0, None), ("c2", 0, "beta", 1, None),
-         ("c2", 0, "gamma", 2, None)],
-        "conv_id string, turn_idx int, canon_label string, pos int, ts timestamp",
-    )
+    turns2 = _turn_row(spark, "c2", "alpha requires beta and gamma together here ok.")
+    mentions2 = _mention_rows(spark, "c2", ["alpha", "beta", "gamma"])
     got2 = {(r["subject"], r["object"]): r["predicate"]
             for r in build_triples(mentions2, turns2)["edges"].collect()}
     assert got2 == {("alpha", "beta"): "requires", ("beta", "gamma"): "requires"}
+
+
+def test_cue_assignment_by_char_offset(spark):
+    """Cue order != pair order must not misassign predicates (reference
+    triple_extraction.py:348-374 picks the predicate per triple): in
+    'A and B; C uses D' the single LATE cue belongs to the (C,D) pair
+    only — index alignment would have stamped 'uses' on (A,B) too."""
+    turns = _turn_row(spark, "c1", "alpha and beta; gamma uses delta")
+    mentions = _mention_rows(spark, "c1", ["alpha", "beta", "gamma", "delta"])
+    got = {(r["subject"], r["object"]): r["predicate"]
+           for r in build_triples(mentions, turns)["edges"].collect()}
+    assert got[("alpha", "beta")] == "relatedTo"
+    assert got[("gamma", "delta")] == "uses"
+    assert got[("beta", "gamma")] == "relatedTo"  # no cue at or left of it
+
+    # a cue only to the RIGHT of every mention applies to nothing
+    turns2 = _turn_row(spark, "c2", "alpha beta and then it uses things")
+    mentions2 = _mention_rows(spark, "c2", ["alpha", "beta"])
+    got2 = {(r["subject"], r["object"]): r["predicate"]
+            for r in build_triples(mentions2, turns2)["edges"].collect()}
+    assert got2 == {("alpha", "beta"): "relatedTo"}
+
+    # repeated cues: each pair takes the cue inside its own span
+    turns3 = _turn_row(spark, "c3", "alpha uses beta and gamma requires delta")
+    mentions3 = _mention_rows(spark, "c3", ["alpha", "beta", "gamma", "delta"])
+    got3 = {(r["subject"], r["object"]): r["predicate"]
+            for r in build_triples(mentions3, turns3)["edges"].collect()}
+    assert got3[("alpha", "beta")] == "uses"
+    assert got3[("gamma", "delta")] == "requires"
+    assert got3[("beta", "gamma")] == "uses"  # nearest-left fallback
+
+
+def test_cue_offset_alias_fallback(spark):
+    """A canonical label that never appears in the surface text (alias
+    normalization: k8s -> kubernetes) has no recoverable offset; the pair
+    falls back to order-based cue alignment instead of losing its cue."""
+    turns = _turn_row(spark, "c1", "k8s uses docker here")
+    mentions = _mention_rows(spark, "c1", ["kubernetes", "docker"])
+    got = {(r["subject"], r["object"]): r["predicate"]
+           for r in build_triples(mentions, turns)["edges"].collect()}
+    assert got == {("kubernetes", "docker"): "uses"}
 
 
 def test_hub_by_triple_degree(spark, ctx):
