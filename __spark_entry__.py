@@ -1238,14 +1238,19 @@ def q_media_features(spark, sf):
     decode_audio) must parse real binary formats to produce width/
     height/mean_pixel and n_samples/sample_rate/duration_ms/rms, which
     the oracle recomputes ARITHMETICALLY from doc_id (including the
-    exact BMP file size with its 4-byte row padding). Video rows keep
-    UTF-8 text bytes, pinning the content-sha and per-frame fan-out
-    plumbing (no library-free video container parser exists; honestly
-    stubbed)."""
+    exact BMP file size with its 4-byte row padding). Video rows carry
+    real YUV4MPEG2 streams (round 5): per-frame constant luma fill
+    derived from doc_id and frame index, so the y4m parser
+    (operators/multimodal.py:decode_video) must walk the plain-text
+    header and FRAME markers to produce per-sampled-frame width/height/
+    mean_pixel plus duration_ms — all of which, and the exact container
+    byte size (header + per-frame FRAME marker + Y plane + C420 chroma),
+    the oracle recomputes from doc_id."""
     import numpy as np
 
     from session_graph_spark.operators.multimodal import (encode_bmp,
                                                           encode_wav,
+                                                          encode_y4m,
                                                           extract_features)
 
     d = _docs(spark, sf).select("doc_id", "text")
@@ -1267,7 +1272,13 @@ def q_media_features(spark, sf):
                     media = encode_wav(np.full(n, a, dtype=np.int16), 8000)
                     kind = "audio"
                 else:
-                    media, kind = r.text.encode("utf-8"), "video"
+                    vw, vh = 2 * (did % 5 + 1), 2 * (did % 4 + 1)
+                    nf = did % 6 + 1
+                    media = encode_y4m(np.stack([
+                        np.full((vh, vw), (did + 13 * j) % 256, dtype=np.uint8)
+                        for j in range(nf)
+                    ]))
+                    kind = "video"
                 out.append((did, kind, bytearray(media)))
             yield pd.DataFrame(out, columns=["asset_id", "kind", "media"])
 
@@ -1276,8 +1287,6 @@ def q_media_features(spark, sf):
         extract_features(assets)
         .select(
             "asset_id", "kind", "n_bytes",
-            F.when(F.col("kind") == "video", F.col("content_sha"))
-            .alias("content_sha"),
             "frame_idx", "width", "height", "mean_pixel",
             "n_samples", "sample_rate", "duration_ms", "rms",
         )
@@ -2129,34 +2138,46 @@ def _media_features_oracle() -> str:
     """Decode + plumbing mirror, all arithmetic: the BMP file size is
     54 + height * row_size with row_size = (3*width+3)//4*4 (the 4-byte
     row padding the decoder must honor), the WAV size is 44 + 2*samples,
-    the constant-fill mean pixel equals the fill value, the constant-
-    amplitude RMS equals the amplitude (exact in float64), and video
-    rows keep the sha-of-UTF-8-text plumbing pin (DuckDB sha256(VARCHAR)
-    hashes the same bytes Spark's text.encode('utf-8') produces)."""
+    the y4m size is the exact text header plus per-frame FRAME marker +
+    Y plane + C420 chroma (w*h/2), the constant-fill means equal the
+    fill values (per VIDEO FRAME: fill (doc_id + 13*src) % 256 at the
+    evenly-sampled source frame src = frame_idx*n_frames//3), and the
+    constant-amplitude RMS equals the amplitude (exact in float64)."""
     return """
         WITH a AS (SELECT doc_id AS asset_id, doc_id % 3 AS k, text,
                           doc_id % 7 + 1 AS w, doc_id % 5 + 1 AS h,
                           doc_id % 256 AS v,
-                          doc_id % 50 + 1 AS n, doc_id % 1000 AS amp
-                   FROM documents)
+                          doc_id % 50 + 1 AS n, doc_id % 1000 AS amp,
+                          2 * (doc_id % 5 + 1) AS vw,
+                          2 * (doc_id % 4 + 1) AS vh,
+                          doc_id % 6 + 1 AS nf
+                   FROM documents),
+             b AS (SELECT *, unnest(range(0, CASE WHEN k = 2 THEN 3 ELSE 1
+                                             END))::INT AS frame_idx
+                   FROM a)
         SELECT asset_id,
                CASE k WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                       ELSE 'video' END AS kind,
                (CASE k WHEN 0 THEN 54 + h * ((3 * w + 3) // 4 * 4)
                        WHEN 1 THEN 44 + 2 * n
-                       ELSE octet_length(encode(text)) END)::INT AS n_bytes,
-               CASE WHEN k = 2 THEN substring(sha256(text), 1, 16)
-                    END AS content_sha,
-               unnest(range(0, CASE WHEN k = 2 THEN 3 ELSE 1 END))::INT
-                 AS frame_idx,
-               (CASE WHEN k = 0 THEN w END)::INT AS width,
-               (CASE WHEN k = 0 THEN h END)::INT AS height,
-               (CASE WHEN k = 0 THEN v END)::DOUBLE AS mean_pixel,
+                       ELSE strlen('YUV4MPEG2 W' || vw || ' H' || vh
+                                   || ' F25:1 Ip A1:1 C420') + 1
+                            + nf * (6 + vw * vh + (vw * vh) // 2)
+                  END)::INT AS n_bytes,
+               frame_idx,
+               (CASE WHEN k = 0 THEN w WHEN k = 2 THEN vw END)::INT AS width,
+               (CASE WHEN k = 0 THEN h WHEN k = 2 THEN vh END)::INT AS height,
+               (CASE WHEN k = 0 THEN v
+                     WHEN k = 2 THEN (asset_id + 13 * ((frame_idx * nf) // 3))
+                                     % 256
+                  END)::DOUBLE AS mean_pixel,
                (CASE WHEN k = 1 THEN n END)::INT AS n_samples,
                (CASE WHEN k = 1 THEN 8000 END)::INT AS sample_rate,
-               (CASE WHEN k = 1 THEN (n * 1000) // 8000 END)::INT AS duration_ms,
+               (CASE WHEN k = 1 THEN (n * 1000) // 8000
+                     WHEN k = 2 THEN nf * 40 END)::INT AS duration_ms,
                (CASE WHEN k = 1 THEN amp END)::DOUBLE AS rms
-        FROM a ORDER BY asset_id, frame_idx"""
+        FROM b
+        ORDER BY asset_id, frame_idx"""
 
 
 def _ann_ivf_oracle() -> str:

@@ -2,15 +2,13 @@
 
 Images/audio/video travel as opaque `binary` columns with typed metadata.
 The Spark-side plumbing — schemas, batch shapes, partition-friendly
-signatures — is real and tested, and since round 4 the decode step is
-REAL for the formats that need no external library: uncompressed 24-bpp
-BMP and binary PPM (P6) images, and PCM WAV audio, parsed with
-struct/numpy only. Richer formats (JPEG/PNG/MP3/MP4) route through
-PIL/soundfile WHEN those libraries exist (import-try); otherwise the row
-keeps its plumbing columns and null decode columns — never a crash, and
-never a fake value pretending to be a decode. Video container parsing
-has no no-library path, so video rows keep the deterministic
-hash-expansion feature vector and the per-frame fan-out shape.
+signatures — is real and tested, and the decode step is REAL for every
+format that needs no external library: uncompressed 24-bpp BMP and
+binary PPM (P6) images, PCM WAV audio, and YUV4MPEG2 (y4m) video, all
+parsed with struct/numpy only. Richer formats (JPEG/PNG/MP3/MP4) route
+through PIL/soundfile WHEN those libraries exist (import-try); otherwise
+the row keeps its plumbing columns and null decode columns — never a
+crash, and never a fake value pretending to be a decode.
 
 Pattern: mapInPandas over (id, media, meta) so each Arrow batch carries
 the raw bytes once; per-batch numpy work; output is a feature row per
@@ -166,10 +164,93 @@ def decode_audio(data: bytes) -> dict:
             "duration_ms": n * 1000 // rate, "rms": rms, "samples": samples}
 
 
+def encode_y4m(frames: np.ndarray, fps: tuple[int, int] = (25, 1),
+               colorspace: str = "C420") -> bytes:
+    """(n, h, w) uint8 luma frames -> YUV4MPEG2 bytes (plain-text header
+    + FRAME markers + planar YUV; chroma planes neutral 0x80). C420
+    requires even dimensions."""
+    frames = np.asarray(frames, dtype=np.uint8)
+    n, h, w = frames.shape
+    if colorspace.startswith("C420"):
+        chroma = b"\x80" * ((w // 2) * (h // 2) * 2)
+    elif colorspace.startswith("C422"):
+        chroma = b"\x80" * ((w // 2) * h * 2)
+    elif colorspace.startswith("C444"):
+        chroma = b"\x80" * (w * h * 2)
+    elif colorspace.startswith("Cmono"):
+        chroma = b""
+    else:
+        raise NotImplementedError(f"y4m colorspace {colorspace}")
+    out = bytearray(
+        f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 {colorspace}\n".encode()
+    )
+    for f in frames:
+        out += b"FRAME\n" + f.tobytes() + chroma
+    return bytes(out)
+
+
+def decode_video(data: bytes) -> dict:
+    """Real video decode: YUV4MPEG2 (y4m) natively — a plain-text header
+    (W/H/F/C parameters) followed by FRAME-marked raw planar YUV, so it
+    parses with struct/numpy alone, exactly like the BMP/WAV codecs.
+    Returns {width, height, n_frames, fps_num, fps_den, duration_ms,
+    frames} where frames is the (n, h, w) uint8 luma stack. Other
+    containers (MP4/WebM...) raise NotImplementedError (ffmpeg
+    territory). Truncated streams raise (malformed media is data, not a
+    bug — callers null the decode columns). A 100 TB deployment would
+    iterate frame offsets lazily instead of materializing the stack; the
+    per-asset frame count here is test-scale."""
+    if not data.startswith(b"YUV4MPEG2"):
+        raise NotImplementedError(
+            "unrecognized video container (native decoder: YUV4MPEG2/y4m)")
+    nl = data.index(b"\n")
+    w = h = None
+    fn, fd, cs = 25, 1, "C420"
+    for tok in data[:nl].decode("ascii").split()[1:]:
+        if tok[0] == "W":
+            w = int(tok[1:])
+        elif tok[0] == "H":
+            h = int(tok[1:])
+        elif tok[0] == "F":
+            fn, fd = (int(x) for x in tok[1:].split(":"))
+        elif tok[0] == "C":
+            cs = tok
+    if not w or not h:
+        raise NotImplementedError("y4m header missing W/H")
+    if cs.startswith("C420"):
+        chroma = (w // 2) * (h // 2) * 2
+    elif cs.startswith("C422"):
+        chroma = (w // 2) * h * 2
+    elif cs.startswith("C444"):
+        chroma = w * h * 2
+    elif cs.startswith("Cmono"):
+        chroma = 0
+    else:
+        raise NotImplementedError(f"y4m colorspace {cs}")
+    frame_bytes = w * h + chroma
+    frames, pos = [], nl + 1
+    while pos < len(data):
+        fnl = data.index(b"\n", pos)
+        if data[pos:pos + 5] != b"FRAME":
+            raise NotImplementedError("y4m stream desync (no FRAME marker)")
+        # a partial trailing frame (even one truncated inside the chroma
+        # planes) is malformed data and must not decode as garbage
+        if fnl + 1 + frame_bytes > len(data):
+            raise ValueError("y4m truncated frame")
+        y = np.frombuffer(data, np.uint8, count=w * h, offset=fnl + 1)
+        frames.append(y.reshape(h, w))
+        pos = fnl + 1 + frame_bytes
+    n = len(frames)
+    return {"width": w, "height": h, "n_frames": n, "fps_num": fn,
+            "fps_den": fd, "duration_ms": n * 1000 * fd // fn,
+            "frames": np.stack(frames) if n else
+            np.empty((0, h, w), np.uint8)}
+
+
 def _fake_decode(data: bytes, dim: int = 8) -> np.ndarray:
     """Deterministic stand-in feature vector (hash expansion of the
-    bytes) — used for video frames, where container parsing has no
-    no-library path."""
+    bytes) — the plumbing feature for every asset, and the only signal
+    for containers with no available decoder."""
     if data is None:
         raise NotImplementedError("real decode requires a video codec")
     h = hashlib.sha256(data).digest()
@@ -200,6 +281,7 @@ def extract_features(assets: DataFrame, frames_per_video: int = 3) -> DataFrame:
                 data = bytes(r.media) if r.media is not None else b""
                 sha = hashlib.sha256(data).hexdigest()[:16]
                 dec = dict(_NULL_DECODE)
+                vid = None
                 try:
                     if r.kind == "image":
                         d = decode_image(data)
@@ -210,19 +292,33 @@ def extract_features(assets: DataFrame, frames_per_video: int = 3) -> DataFrame:
                         dec.update(n_samples=d["n_samples"],
                                    sample_rate=d["sample_rate"],
                                    duration_ms=d["duration_ms"], rms=d["rms"])
+                    elif r.kind == "video":
+                        vid = decode_video(data)
                 except Exception:  # noqa: BLE001
                     # unknown OR MALFORMED media is data, not a bug: a
                     # truncated BMP raises struct.error, a corrupt PPM
-                    # IndexError, PIL UnidentifiedImageError — none may
-                    # fail the task. Plumbing columns survive, decode
-                    # columns stay null
+                    # IndexError, a partial y4m frame ValueError, PIL
+                    # UnidentifiedImageError — none may fail the task.
+                    # Plumbing columns survive, decode columns stay null
                     pass
                 n_frames = frames_per_video if r.kind == "video" else 1
                 for fi in range(n_frames):
+                    row_dec = dec
+                    if vid is not None and vid["n_frames"] > 0:
+                        # evenly-spaced frame sample (floor stride): the
+                        # fan-out stays a constant frames_per_video rows
+                        # per asset regardless of stream length
+                        src = fi * vid["n_frames"] // n_frames
+                        y = vid["frames"][src]
+                        row_dec = dict(
+                            dec, width=vid["width"], height=vid["height"],
+                            mean_pixel=float(y.astype(np.float64).mean()),
+                            duration_ms=vid["duration_ms"])
                     feat = _fake_decode(data + fi.to_bytes(2, "big"))
                     rows.append(dict(asset_id=r.asset_id, kind=r.kind,
                                      n_bytes=len(data), content_sha=sha,
-                                     feat=feat.tolist(), frame_idx=fi, **dec))
+                                     feat=feat.tolist(), frame_idx=fi,
+                                     **row_dec))
             yield pd.DataFrame(rows, columns=cols)
 
     return assets.mapInPandas(run, schema=FEATURE_SCHEMA)

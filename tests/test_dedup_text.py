@@ -266,12 +266,78 @@ def test_extract_features_decodes_real_media(spark):
     assert rows[2]["n_samples"] == 16 and rows[2]["rms"] == 250.0
     assert rows[2]["duration_ms"] == 2
     assert rows[3]["width"] is None  # unknown format: plumbing only
-    assert rows[4]["width"] is None  # video: per-frame fan-out, no decode
+    assert rows[4]["width"] is None  # unknown video container: no decode
     for bad_id in (5, 6, 7):  # malformed media: no crash, plumbing intact
         assert rows[bad_id]["width"] is None and rows[bad_id]["rms"] is None
         assert rows[bad_id]["n_bytes"] > 0
     assert rows[1]["n_bytes"] == 54 + 3 * ((3 * 4 + 3) // 4 * 4)
     assert rows[2]["n_bytes"] == 44 + 2 * 16
+
+
+def test_native_video_codec_roundtrip():
+    """YUV4MPEG2 encode/decode roundtrip: header parameters, FRAME walk,
+    per-frame luma recovery, and duration math — struct/numpy only."""
+    import numpy as np
+    import pytest as _pytest
+
+    from session_graph_spark.operators.multimodal import (decode_video,
+                                                          encode_y4m)
+
+    frames = np.stack([np.full((4, 6), 10 * j + 5, dtype=np.uint8)
+                       for j in range(5)])
+    data = encode_y4m(frames, fps=(30, 1))
+    d = decode_video(data)
+    assert (d["width"], d["height"], d["n_frames"]) == (6, 4, 5)
+    assert (d["fps_num"], d["fps_den"]) == (30, 1)
+    assert d["duration_ms"] == 5 * 1000 // 30
+    assert np.array_equal(d["frames"], frames)
+    # exact container size: header + n_frames * (FRAME\n + Y + C420 UV)
+    hdr = b"YUV4MPEG2 W6 H4 F30:1 Ip A1:1 C420\n"
+    assert len(data) == len(hdr) + 5 * (6 + 6 * 4 + (6 * 4) // 2)
+    # mono colorspace has no chroma planes
+    mono = encode_y4m(frames[:2], colorspace="Cmono")
+    dm = decode_video(mono)
+    assert dm["n_frames"] == 2 and np.array_equal(dm["frames"], frames[:2])
+    # malformed streams raise (caller nulls the decode columns):
+    # truncated final frame, desynced marker, alien container
+    with _pytest.raises(ValueError):
+        decode_video(data[:-10])
+    with _pytest.raises(NotImplementedError):
+        decode_video(hdr + b"FRAMX\n" + b"\x00" * 36)
+    with _pytest.raises(NotImplementedError):
+        decode_video(b"\x00\x00\x00 ftypisom")
+
+
+def test_extract_features_decodes_y4m_video(spark):
+    """Video rows with real y4m bytes carry REAL per-sampled-frame
+    decode columns (width/height/mean_pixel/duration_ms) while keeping
+    the constant 3-row fan-out; malformed y4m keeps nulls."""
+    import numpy as np
+
+    from session_graph_spark.operators.multimodal import (encode_y4m,
+                                                          extract_features)
+
+    frames = np.stack([np.full((4, 6), 20 * j, dtype=np.uint8)
+                       for j in range(6)])
+    good = encode_y4m(frames)  # 25 fps
+    assets = spark.createDataFrame(
+        [(1, "video", bytearray(good)),
+         (2, "video", bytearray(good[:-5]))],  # truncated last frame
+        "asset_id long, kind string, media binary",
+    )
+    out = extract_features(assets).collect()
+    good_rows = sorted((r for r in out if r["asset_id"] == 1),
+                       key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in good_rows] == [0, 1, 2]
+    for fi, r in enumerate(good_rows):
+        src = fi * 6 // 3  # evenly-spaced sample: frames 0, 2, 4
+        assert (r["width"], r["height"]) == (6, 4)
+        assert r["mean_pixel"] == float(20 * src)
+        assert r["duration_ms"] == 6 * 1000 // 25
+    bad_rows = [r for r in out if r["asset_id"] == 2]
+    assert len(bad_rows) == 3  # fan-out shape survives malformed media
+    assert all(r["width"] is None and r["mean_pixel"] is None
+               for r in bad_rows)
 
 
 def test_exact_variants_keep_full_recall_over_cap(spark):
