@@ -126,8 +126,9 @@ def main() -> None:
         fn = E.queries()[q]
         timed(q, lambda fn=fn: fn(spark, sf_dir).collect())
 
-    # KB-link stage at two dimension sizes: the dim is broadcast, so link
-    # time must stay flat in KB size (450 curated vs 5k generated rows)
+    # KB-link stage at three dimension sizes: the dim is broadcast, so
+    # link time must stay flat in KB size (450 curated vs 5k flat-filler
+    # vs ~33k realistic gazetteer with multi-sense collisions)
     from pyspark.sql import functions as F  # noqa: PLC0415
 
     from session_graph_spark.operators.linking import (KB_ENTRIES, KB_SCHEMA,
@@ -154,9 +155,21 @@ def main() -> None:
         .where(F.length("label") >= 3).distinct().cache()
     )
     doc_labels.count()
+    from session_graph_spark import kbgen
+
+    kb30k_fp = hashlib.md5(
+        f"{kb_fp}:v{kbgen.GENERATOR_VERSION}:n30000:s7".encode()
+    ).hexdigest()[:10]
+    kb30k_path = os.path.join(tempfile.gettempdir(),
+                              f"spark_graft_kb30k_{kb30k_fp}")
+    if not os.path.exists(os.path.join(kb30k_path, "_SUCCESS")):
+        kbgen.write_kb(spark, kb30k_path, n=30000, seed=7)
+
     timed("kb_link_450", lambda: link_to_kb(doc_labels, kb_df(spark)).count())
     timed("kb_link_5k",
           lambda: link_to_kb(doc_labels, kb_df(spark, path=kb5k_path)).count())
+    timed("kb_link_30k",
+          lambda: link_to_kb(doc_labels, kb_df(spark, path=kb30k_path)).count())
     doc_labels.unpersist()
 
     if tmp:

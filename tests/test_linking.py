@@ -303,6 +303,79 @@ def test_external_kb_dimension(spark, tmp_path):
         kb_df(spark, path=badtype)
 
 
+def test_generated_gazetteer_dimension(spark, tmp_path):
+    """The realistic 30k-entry generated gazetteer (kbgen): structural
+    invariants, every linker rung reachable, multi-sense collisions at
+    natural density resolved by the context re-ranker, and curated labels
+    linking IDENTICALLY under the big dimension (superset property)."""
+    from session_graph_spark import kbgen
+    from session_graph_spark.operators.linking import (KB_ENTRIES,
+                                                       TECH_KEYWORDS)
+
+    rows = kbgen.generate_kb_rows(n=2000, seed=7)
+    assert len(rows) >= len(KB_ENTRIES) + 2000
+    # determinism + id uniqueness + curated prefix preserved
+    assert rows[:len(KB_ENTRIES)] == [
+        (k, lbl, d, list(a)) for k, lbl, d, a in KB_ENTRIES]
+    assert rows == kbgen.generate_kb_rows(n=2000, seed=7)
+    ids = [r[0] for r in rows]
+    assert len(set(ids)) == len(ids)
+    # multi-sense collisions at natural density; tech sense = lowest id
+    from collections import Counter
+    by_label = Counter(r[1] for r in rows)
+    gen_multi = [lbl for lbl, c in by_label.items() if c > 1
+                 and any(r[0].startswith("kbx:9") for r in rows if r[1] == lbl)]
+    assert 2000 * 0.04 <= len(gen_multi) <= 2000 * 0.15
+    descs = {r[0]: r[2] for r in rows}
+    for lbl in gen_multi[:20]:
+        lo, hi = sorted(r[0] for r in rows if r[1] == lbl)[:2]
+        assert any(kw in descs[lo] for kw in TECH_KEYWORDS)
+        assert not any(kw in descs[hi] for kw in TECH_KEYWORDS)
+
+    path = str(tmp_path / "kb30k")
+    n_written = kbgen.write_kb(spark, path, n=2000, seed=7)
+    big = kb_df(spark, path=path)
+    assert big.count() == n_written == len(rows)
+
+    # rung coverage on generated entries: exact -> 1.0, alias -> 0.8,
+    # non-tech -> 0.5 (found but below threshold)
+    tech = next(r for r in rows if r[0].startswith("kbx:1")
+                and "folklore" not in r[2] and r[3])
+    nontech = next(r for r in rows if r[0].startswith("kbx:1")
+                   and "folklore" in r[2])
+    probe = spark.createDataFrame(
+        [(tech[1],), (tech[3][0],), (nontech[1],)], ["label"])
+    got = {r["label"]: r for r in link_to_kb(probe, big).collect()}
+    assert got[tech[1]]["confidence"] == 1.0 and got[tech[1]]["linked"]
+    assert got[tech[3][0]]["confidence"] == 0.8 and got[tech[3][0]]["linked"]
+    assert got[nontech[1]]["confidence"] == 1.0  # exact label still 1.0
+
+    # ambiguous generated label: context-free -> tech (lower id) sense;
+    # non-tech context evidence flips it
+    amb = gen_multi[0]
+    lo_id, hi_id = sorted(r[0] for r in rows if r[1] == amb)[:2]
+    probe2 = spark.createDataFrame([(amb,)], ["label"])
+    free = link_to_kb(probe2, big).collect()[0]
+    assert free["kb_id"] == lo_id
+    hi_desc_words = [w for w in descs[hi_id].split() if len(w) > 3][:3]
+    ctx = spark.createDataFrame([(amb, hi_desc_words)],
+                                "label string, context array<string>")
+    steered = link_to_kb(probe2, big, context=ctx).collect()[0]
+    assert steered["kb_id"] == hi_id
+
+    # superset property: curated labels link identically vs curated dim
+    curated_probe = spark.createDataFrame(
+        [("python",), ("k8s",), ("go",), ("quicksilver",), ("zzz-nope",)],
+        ["label"])
+    small = {r["label"]: r for r in link_to_kb(curated_probe, kb_df(spark)).collect()}
+    under_big = {r["label"]: r for r in link_to_kb(curated_probe, big).collect()}
+    for lbl in small:
+        assert (small[lbl]["kb_id"], small[lbl]["confidence"],
+                small[lbl]["linked"]) == \
+               (under_big[lbl]["kb_id"], under_big[lbl]["confidence"],
+                under_big[lbl]["linked"]), lbl
+
+
 def test_link_clusters_consumes_context(spark):
     """link_clusters feeds entity_context evidence through to the linker
     (reference link_entities.py:653-663)."""
