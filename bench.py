@@ -99,6 +99,8 @@ def main() -> None:
     er_par = None
 
     # headline: full ER pipeline, turns/sec
+    holder: dict = {}
+
     def run_er():
         # a previous rep's .cache()d stages match this rep's plans in the
         # CacheManager (lookup is by canonicalized plan) — clear so every
@@ -109,11 +111,30 @@ def main() -> None:
         res = resolve(spark, t, max_parallelism=er_par)
         res.clusters.count()
         res.mention_clusters.count()
+        holder["res"] = res
 
     # best-of-N for the headline (N=2 default; scaling reps set 1 and
     # take their min across whole invocations instead)
     er_reps = int(os.environ.get("SPARK_GRAFT_ER_REPS", "2"))
     timed("er_pipeline", run_er, reps=er_reps)
+
+    # resume story: re-run with the previous run's pair decisions as the
+    # cache (P13/J4) — the Arrow kernel and context stage are skipped for
+    # every cached pair, so the warm run should beat the cold headline.
+    # The decisions table is written from the last rep's still-cached
+    # scored stage (cheap), then read back like a real resume would
+    dec_path = os.path.join(tempfile.gettempdir(), "spark_graft_decisions")
+    holder["res"].pairs_scored.select("label_a", "label_b", "score") \
+        .write.mode("overwrite").parquet(dec_path)
+
+    def run_er_warm():
+        spark.catalog.clearCache()
+        t = spark.read.parquet(turns_path)
+        res = resolve(spark, t, max_parallelism=er_par,
+                      decisions=spark.read.parquet(dec_path))
+        res.mention_clusters.count()
+
+    timed("er_pipeline_warm", run_er_warm)
 
     # ER over the documents-derived turns of this scale factor
     timed("er_documents", lambda: resolve(spark, documents_as_turns(spark, sf_dir),
