@@ -190,6 +190,29 @@ def main() -> None:
         ["BroadcastHashJoin"],
     ))
 
+    # 10. triple predicate assignment (round 5: char-offset cue choice):
+    # the locate folds and span filters are higher-order JVM expressions —
+    # the plan must contain NO Python evaluation and no cartesian product
+    # (two keyed joins only: mention pair self-join + turn-cue join)
+    from session_graph_spark.operators.triples import build_triples
+
+    t_demo = spark.createDataFrame(
+        [("c", 0, "alpha uses beta", None)],
+        "conv_id string, turn_idx int, text string, ts timestamp")
+    m_demo = spark.createDataFrame(
+        [("c", 0, "alpha", 0, None), ("c", 0, "beta", 1, None)],
+        "conv_id string, turn_idx int, canon_label string, pos int, "
+        "ts timestamp")
+    tri_plan = explain_str(build_triples(m_demo, t_demo)["reified"])
+    assert "CartesianProduct" not in tri_plan
+    assert "BatchEvalPython" not in tri_plan and "ArrowEvalPython" not in tri_plan, \
+        "cue-offset assignment must stay JVM-side"
+    sections.append((
+        "Triple predicates: char-offset cue choice, pure JVM expressions",
+        tri_plan,
+        ["aggregate", "locate"],
+    ))
+
     failures = []
     out = ["# PLANS — physical plan inspection (generated by scripts/explain_plans.py)\n"]
     for title, plan, must in sections:
