@@ -30,15 +30,15 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.1
 
-    from session_graph_spark.session import get_spark
+    from session_graph_spark.session import (bench_shuffle_partitions,
+                                             get_spark, warm_udf_workers)
 
     # above the ~16-task memory-bandwidth knee (BENCH.md microbench), run
     # reduce stages at half width too: 32 concurrent shuffle tasks degrade
     # per-task throughput ~23x on this host class, and AQE's size-based
     # coalescing keeps sub-second queries unaffected either way
-    shuffle_parts = max(cpus if cpus <= 16 else cpus // 2, 8)
     spark = get_spark(app_name="bench", master=f"local[{cpus}]",
-                      shuffle_partitions=shuffle_parts)
+                      shuffle_partitions=bench_shuffle_partitions(cpus))
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as E
@@ -61,18 +61,7 @@ def main() -> None:
     n_turns = spark.read.parquet(turns_path).count()
     spark.range(1000).agg({"id": "sum"}).collect()  # warm codegen paths
 
-    # warm the Python UDF workers (one per core; first UDF stage otherwise
-    # pays a 32-way import storm inside the timed region — on a real
-    # cluster executors are long-lived and arrive warm)
-    def _noop(batches):
-        import session_graph_spark.operators.extract  # noqa: F401 (preload)
-        import session_graph_spark.operators.scoring  # noqa: F401
-        for b in batches:
-            yield b[["conv_id"]]
-
-    spark.read.parquet(turns_path).repartition(cpus * 2).mapInPandas(
-        _noop, "conv_id string"
-    ).count()
+    warm_udf_workers(spark, spark.read.parquet(turns_path), cpus)
 
     timings: dict[str, float] = {}
 
@@ -118,6 +107,22 @@ def main() -> None:
     er_reps = int(os.environ.get("SPARK_GRAFT_ER_REPS", "2"))
     timed("er_pipeline", run_er, reps=er_reps)
 
+    # scaling runs (scripts/run_scaling.py) compare er_pipeline
+    # throughput across parallelism levels over many whole invocations:
+    # the rest of the suite would only add wall-clock without adding
+    # signal there
+    if os.environ.get("SPARK_GRAFT_HEADLINE_ONLY"):
+        print(json.dumps({
+            "metric": "bench_total_sec",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec", "queries": timings, "sf": sf, "cpus": cpus,
+            "er_turns": n_turns,
+            "er_turns_per_sec": round(n_turns / timings["er_pipeline"], 1),
+            "er_reps": er_reps,
+        }))
+        spark.stop()
+        return
+
     # resume story: re-run with the previous run's pair decisions as the
     # cache (P13/J4) — the Arrow kernel and context stage are skipped for
     # every cached pair, so the warm run should beat the cold headline.
@@ -134,7 +139,9 @@ def main() -> None:
                       decisions=spark.read.parquet(dec_path))
         res.mention_clusters.count()
 
-    timed("er_pipeline_warm", run_er_warm)
+    # same rep count as the cold headline it is compared against — a
+    # single warm sample on a VM with 2-4x swings could falsely lose
+    timed("er_pipeline_warm", run_er_warm, reps=er_reps)
 
     # ER over the documents-derived turns of this scale factor
     timed("er_documents", lambda: resolve(spark, documents_as_turns(spark, sf_dir),

@@ -27,25 +27,17 @@ def main() -> None:
     reps = int(os.environ.get("SPARK_GRAFT_AB_REPS", "5"))
 
     from session_graph_spark.plans.pipeline import resolve
-    from session_graph_spark.session import get_spark
+    from session_graph_spark.session import (bench_shuffle_partitions,
+                                             get_spark, warm_udf_workers)
     from session_graph_spark.sources.testdata import documents_as_turns
 
-    shuffle_parts = max(cpus if cpus <= 16 else cpus // 2, 8)
     spark = get_spark(app_name="ab_er_documents", master=f"local[{cpus}]",
-                      shuffle_partitions=shuffle_parts)
+                      shuffle_partitions=bench_shuffle_partitions(cpus))
     spark.sparkContext.setLogLevel("ERROR")
 
     turns = documents_as_turns(spark, sf_dir)
     n_turns = turns.count()
-
-    # warm Python UDF workers outside the timed region (bench.py protocol)
-    def _noop(batches):
-        import session_graph_spark.operators.extract  # noqa: F401
-        import session_graph_spark.operators.scoring  # noqa: F401
-        for b in batches:
-            yield b[["conv_id"]]
-
-    turns.repartition(cpus * 2).mapInPandas(_noop, "conv_id string").count()
+    warm_udf_workers(spark, turns, cpus)
 
     times: dict[str, list[float]] = {"ctx_on": [], "ctx_off": []}
     for rep in range(reps):

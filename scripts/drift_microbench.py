@@ -25,11 +25,10 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     reps = int(os.environ.get("SPARK_GRAFT_DRIFT_REPS", "6"))
 
-    from session_graph_spark.session import get_spark
+    from session_graph_spark.session import bench_shuffle_partitions, get_spark
 
-    shuffle_parts = max(cpus if cpus <= 16 else cpus // 2, 8)
     spark = get_spark(app_name="drift_microbench", master=f"local[{cpus}]",
-                      shuffle_partitions=shuffle_parts)
+                      shuffle_partitions=bench_shuffle_partitions(cpus))
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as E

@@ -25,33 +25,28 @@ def main() -> None:
 
     from session_graph_spark import corpus
     from session_graph_spark.plans.pipeline import resolve
-    from session_graph_spark.session import get_spark
+    from session_graph_spark.session import (bench_shuffle_partitions,
+                                             get_spark, warm_udf_workers)
 
-    shuffle_parts = max(cpus if cpus <= 16 else cpus // 2, 8)
     spark = get_spark(app_name="er_scale_notch", master=f"local[{cpus}]",
-                      shuffle_partitions=shuffle_parts)
+                      shuffle_partitions=bench_shuffle_partitions(cpus))
     spark.sparkContext.setLogLevel("ERROR")
 
-    # same corpus recipe + cache as bench.py, just a bigger n_convs
+    # same corpus recipe, cache key AND partition count as bench.py — the
+    # cache key does not include the partition count, so writing a
+    # different layout under it would silently change the input bench's
+    # cross-parallelism comparisons read
     n_convs = max(300, int(1_800_000 * sf))
     path = f"/tmp/spark_graft_corpus_{corpus.corpus_cache_key(n_convs, 42)}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         t0 = time.time()
         corpus.generate_turns_distributed(
-            spark, n_convs=n_convs, seed=42, partitions=max(64, cpus * 4)
+            spark, n_convs=n_convs, seed=42, partitions=64
         ).write.mode("overwrite").parquet(path)
         print(f"generated {n_convs} convs in {time.time() - t0:.0f}s",
               file=sys.stderr)
     n_turns = spark.read.parquet(path).count()
-
-    def _noop(batches):
-        import session_graph_spark.operators.extract  # noqa: F401
-        import session_graph_spark.operators.scoring  # noqa: F401
-        for b in batches:
-            yield b[["conv_id"]]
-
-    spark.read.parquet(path).repartition(cpus * 2).mapInPandas(
-        _noop, "conv_id string").count()
+    warm_udf_workers(spark, spark.read.parquet(path), cpus)
 
     runs = []
     for rep in range(reps):

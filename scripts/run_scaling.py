@@ -20,7 +20,7 @@ def run(cpus: int, sf_dir: str) -> dict:
     # reps at this level already take a min across whole invocations;
     # keep bench's internal ER best-of at 1 so each rep stays cheap
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir,
-               SPARK_GRAFT_ER_REPS="1")
+               SPARK_GRAFT_ER_REPS="1", SPARK_GRAFT_HEADLINE_ONLY="1")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, capture_output=True, text=True, timeout=3600, check=True,

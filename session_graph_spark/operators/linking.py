@@ -562,7 +562,9 @@ def kb_df(spark: SparkSession, path: str | None = None) -> DataFrame:
         # csv string passes a name check and then fails deep inside the
         # linkers' explode — surface the contract violation at load time.
         # simpleString comparison deliberately ignores nullability.
-        expected = spark.createDataFrame([], KB_SCHEMA).schema
+        from pyspark.sql.types import StructType
+
+        expected = StructType.fromDDL(KB_SCHEMA)
         for f in expected.fields:
             actual = df.schema[f.name].dataType
             if actual.simpleString() != f.dataType.simpleString():

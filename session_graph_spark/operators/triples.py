@@ -98,7 +98,15 @@ def build_triples(mentions: DataFrame, turns: DataFrame) -> dict[str, DataFrame]
     )
     n_cues = F.size("cue_list")
     s_off = F.expr("locate(subject, __lt)")
-    o_off = F.expr("locate(object, __lt)")
+    # the object is the NEXT mention in occurrence order, so its relevant
+    # occurrence is the first one AFTER the subject's — plain first-
+    # occurrence would point a repeated label ('gamma needs alpha' where
+    # alpha opened the turn) or a prefix-substring ('java' inside
+    # 'javascript') at the wrong span and steal/lose the cue. Fall back
+    # to the global first occurrence when the object only appears before
+    # the subject
+    o_after = F.expr("locate(object, __lt, locate(subject, __lt) + 1)")
+    o_off = F.when(o_after > 0, o_after).otherwise(F.expr("locate(object, __lt)"))
     lo, hi = F.least(s_off, o_off), F.greatest(s_off, o_off)
     z = F.arrays_zip("cue_list", "cue_offs")
     between = F.filter(z, lambda x: (x["cue_offs"] > lo) & (x["cue_offs"] < hi))
@@ -115,7 +123,13 @@ def build_triples(mentions: DataFrame, turns: DataFrame) -> dict[str, DataFrame]
             F.least(F.col("pos") + 1, n_cues).cast("int"),
         ),
     )
-    pair_cue = F.when((s_off > 0) & (o_off > 0), offset_cue).otherwise(order_cue)
+    # identical offsets mean the two labels' occurrences could not be
+    # separated (e.g. one is a leading substring of the other and appears
+    # nowhere else) — offset evidence is unusable, keep the order-based
+    # alignment rather than silently dropping the cue
+    pair_cue = F.when(
+        (s_off > 0) & (o_off > 0) & (s_off != o_off), offset_cue
+    ).otherwise(order_cue)
     with_pred = (
         pairs.join(cues, ["conv_id", "turn_idx"], "left")
         .withColumn(

@@ -58,3 +58,26 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
+
+
+def bench_shuffle_partitions(cpus: int) -> int:
+    """The measured reduce-width knee for this host class (BENCH.md
+    microbench): above ~16 concurrent string-heavy shuffle tasks the
+    memory bus saturates, so benches run reduce stages at half width.
+    Shared by every measurement entry point so a re-tune lands once."""
+    return max(cpus if cpus <= 16 else cpus // 2, 8)
+
+
+def warm_udf_workers(spark: SparkSession, df, cpus: int) -> None:
+    """Spin up one Python UDF worker per core OUTSIDE a timed region
+    (first pandas-UDF stage otherwise pays an N-way import storm; real
+    cluster executors are long-lived and arrive warm)."""
+
+    def _noop(batches):
+        import session_graph_spark.operators.extract  # noqa: F401 (preload)
+        import session_graph_spark.operators.scoring  # noqa: F401
+        for b in batches:
+            yield b[["conv_id"]]
+
+    df.select("conv_id").repartition(cpus * 2).mapInPandas(
+        _noop, "conv_id string").count()

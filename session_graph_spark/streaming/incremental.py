@@ -108,7 +108,29 @@ class IncrementalRunner:
     def _load_manifest(self, path: str) -> dict | None:
         f = Path(path) / "_MANIFEST.json"
         if not f.exists():
-            return None
+            # a manifest-less dir that nevertheless holds flat part=P
+            # data is the pre-generation (swap-protocol) layout: migrate
+            # it in place (renames into gen=0 + one manifest commit)
+            # instead of silently treating committed state as empty —
+            # which would reprocess every conversation and orphan the
+            # old rows forever
+            legacy = sorted(Path(path).glob("part=*")) if Path(path).exists() else []
+            if not legacy:
+                return None
+            warnings.warn(
+                f"state table {path}: migrating pre-manifest layout "
+                f"({len(legacy)} flat partition dirs) to the "
+                "generation-pointer format", stacklevel=2)
+            gen_dir = Path(path) / "gen=0"
+            gen_dir.mkdir(exist_ok=True)
+            parts = {}
+            for d in legacy:
+                d.rename(gen_dir / d.name)
+                parts[d.name.split("=", 1)[1]] = 0
+            man = {"version": 1, "n_parts": self.n_parts, "gen": 0,
+                   "parts": {k: parts[k] for k in sorted(parts, key=int)}}
+            self._commit_manifest(path, man)
+            return man
         man = json.loads(f.read_text())
         if man["n_parts"] != self.n_parts:
             raise ValueError(
@@ -122,8 +144,24 @@ class IncrementalRunner:
             )
         return man
 
-    def _commit_manifest(self, path: str, man: dict) -> None:
-        """THE commit point: one atomic rename of the pointer file."""
+    def _commit_manifest(self, path: str, man: dict,
+                         expect_gen: int | None = None) -> None:
+        """THE commit point: one atomic rename of the pointer file.
+
+        The protocol is SINGLE-WRITER (like Iceberg's optimistic commit,
+        minus the retry loop): concurrent merges on one state dir are a
+        deployment error. `expect_gen` makes the realistic race fail
+        loudly instead of silently losing an update — if another writer
+        committed since this merge read its base manifest, the on-disk
+        generation no longer matches and we refuse to clobber it."""
+        if expect_gen is not None:
+            f = Path(path) / "_MANIFEST.json"
+            on_disk = json.loads(f.read_text())["gen"] if f.exists() else 0
+            if on_disk != expect_gen:
+                raise RuntimeError(
+                    f"state table {path}: concurrent writer detected "
+                    f"(manifest moved gen {expect_gen} -> {on_disk} "
+                    "during this merge); the store is single-writer")
         tmp = Path(path) / "_MANIFEST.json.tmp"
         with open(tmp, "w") as fh:
             fh.write(json.dumps(man, sort_keys=True))
@@ -150,7 +188,13 @@ class IncrementalRunner:
             for pd in gd.glob("part=*"):
                 q = int(pd.name.split("=", 1)[1])
                 if (g, q) not in ref:
-                    if pre_write:
+                    # only generations ABOVE the committed one are a
+                    # rolled-back crashed WRITE; unreferenced dirs at or
+                    # below it are committed-then-superseded leftovers of
+                    # an interrupted post-commit GC — cleaning those is
+                    # routine, and warning about them would read as a
+                    # false data-loss alarm
+                    if pre_write and g > man.get("gen", 0):
                         warnings.warn(
                             f"state table {path}: discarding uncommitted "
                             f"partition {gd.name}/{pd.name} left by a "
@@ -432,14 +476,14 @@ class IncrementalRunner:
         new_parts = {int(k): g for k, g in man["parts"].items()
                      if int(k) not in set(parts)}
         new_parts.update({q: next_gen for q in written})
-        self._commit_manifest(path, {
+        man2 = {
             "version": 1, "n_parts": self.n_parts, "gen": next_gen,
             "parts": {str(k): new_parts[k] for k in sorted(new_parts)},
-        })
+        }
+        self._commit_manifest(path, man2, expect_gen=man["gen"])
         # post-commit GC of the superseded partition directories; a crash
         # here only leaves unreferenced dirs for the next pre-write pass
-        self._gc_unreferenced(path, {"parts": {str(k): new_parts[k]
-                                               for k in new_parts}})
+        self._gc_unreferenced(path, man2)
         # the manifest swap is invisible to Spark's CacheManager: without
         # this refresh the NEXT batch's todo anti-join can be served from
         # the PREVIOUS batch's cached plan (matched by canonicalized

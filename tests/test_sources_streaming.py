@@ -584,7 +584,7 @@ def test_state_store_commit_is_crash_atomic(spark, tmp_path):
     # partition directory exists twice)
     real_commit = runner._commit_manifest
 
-    def dying_commit(p, man):
+    def dying_commit(*args, **kwargs):
         raise OSError("injected crash before manifest rename")
 
     runner._commit_manifest = dying_commit
@@ -612,6 +612,71 @@ def test_state_store_commit_is_crash_atomic(spark, tmp_path):
                     (tmp_path / "state" / "clusters" / "_MANIFEST.json")
                     .read_text())["parts"].values()}}
     assert set(gens) == man_gens
+
+
+def test_state_store_legacy_layout_migrates(spark, tmp_path):
+    """A pre-manifest state dir (flat part=P layout from the old swap
+    protocol) must not read as empty: opening it migrates the data into
+    gen=0 with one manifest commit (warning emitted), preserving every
+    row."""
+    import warnings as _warnings
+
+    from session_graph_spark.streaming.incremental import IncrementalRunner
+    from pyspark.sql import functions as _F
+
+    path = str(tmp_path / "state" / "clusters")
+    df = spark.createDataFrame(
+        [(f"conv-{i}", f"l{i}", f"c{i}") for i in range(6)],
+        "conv_id string, canon_label string, cluster_id string")
+    df.withColumn("part", _F.pmod(_F.xxhash64("conv_id"), _F.lit(4))) \
+        .write.partitionBy("part").parquet(path)
+    assert not (tmp_path / "state" / "clusters" / "_MANIFEST.json").exists()
+
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        runner = IncrementalRunner(spark, str(tmp_path / "state"), n_parts=4)
+        got = sorted(map(tuple, runner.clusters().collect()))
+    assert any("migrating pre-manifest layout" in str(w.message) for w in caught)
+    assert got == sorted(map(tuple, df.collect()))
+    # post-migration the table merges normally
+    upd = spark.createDataFrame(
+        [("conv-0", "lx", "cx")],
+        "conv_id string, canon_label string, cluster_id string")
+    runner._merge_overwrite(path, upd, upd.select("conv_id"))
+    after = {r["conv_id"]: r["canon_label"] for r in runner.clusters().collect()}
+    assert after["conv-0"] == "lx" and len(after) == 6
+
+
+def test_state_store_detects_concurrent_writer(spark, tmp_path):
+    """Single-writer contract: if another writer commits between a
+    merge's base-manifest read and its commit, the commit refuses
+    (loud lost-update detection) instead of clobbering the newer
+    generation."""
+    import json as _json
+
+    from session_graph_spark.streaming.incremental import IncrementalRunner
+
+    runner = IncrementalRunner(spark, str(tmp_path / "state"), n_parts=4)
+    path = str(tmp_path / "state" / "clusters")
+    df = spark.createDataFrame(
+        [("conv-a", "l1", "c1")],
+        "conv_id string, canon_label string, cluster_id string")
+    runner._merge_overwrite(path, df, df.select("conv_id"))
+
+    # simulate a racing writer bumping the manifest mid-merge
+    mf = tmp_path / "state" / "clusters" / "_MANIFEST.json"
+    man = _json.loads(mf.read_text())
+
+    real_commit = runner._commit_manifest
+
+    def racing_commit(p, m, expect_gen=None):
+        man["gen"] += 1
+        mf.write_text(_json.dumps(man))
+        return real_commit(p, m, expect_gen=expect_gen)
+
+    runner._commit_manifest = racing_commit
+    with pytest.raises(RuntimeError, match="concurrent writer"):
+        runner._merge_overwrite(path, df, df.select("conv_id"))
 
 
 def test_state_store_n_parts_pinned(spark, tmp_path):

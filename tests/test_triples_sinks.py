@@ -108,6 +108,44 @@ def test_cue_assignment_by_char_offset(spark):
     assert got3[("beta", "gamma")] == "uses"  # nearest-left fallback
 
 
+def test_cue_offset_substring_and_repeated_labels(spark):
+    """Offset recovery must survive labels that are substrings of other
+    mentions and labels that repeat within the turn (self-review
+    findings): 'alphabeta talks to alpha' must not collapse both offsets
+    onto position 1, and the object's occurrence is the first one AFTER
+    the subject."""
+    # prefix-substring: locate('alpha') alone would hit 'alphabeta'
+    turns = _turn_row(spark, "c1", "alphabeta talks to alpha")
+    mentions = _mention_rows(spark, "c1", ["alphabeta", "alpha"])
+    got = {(r["subject"], r["object"]): r["predicate"]
+           for r in build_triples(mentions, turns)["edges"].collect()}
+    assert got == {("alphabeta", "alpha"): "integratesWith"}
+
+    # repeated label: pair (gamma, alpha) must use alpha's SECOND
+    # occurrence, keeping 'needs' instead of stealing 'uses'
+    turns2 = _turn_row(spark, "c2", "alpha uses beta. gamma needs alpha")
+    mentions2 = _mention_rows(spark, "c2", ["alpha", "beta", "gamma"])
+    # the (gamma, alpha) pair arises when alpha re-enters as the next
+    # mention pair: simulate with explicit positions
+    mentions2 = spark.createDataFrame(
+        [("c2", 0, "alpha", 0, None), ("c2", 0, "beta", 1, None),
+         ("c2", 0, "gamma", 2, None), ("c2", 0, "alpha", 3, None)],
+        "conv_id string, turn_idx int, canon_label string, pos int, ts timestamp",
+    )
+    got2 = {(r["subject"], r["object"]): r["predicate"]
+            for r in build_triples(mentions2, turns2)["edges"].collect()}
+    assert got2[("alpha", "beta")] == "uses"
+    assert got2[("gamma", "alpha")] == "requires"  # 'needs' -> requires
+
+    # inseparable offsets (label only occurs inside the other): order
+    # fallback keeps the cue rather than dropping it
+    turns3 = _turn_row(spark, "c3", "alphabeta uses gammadelta")
+    mentions3 = _mention_rows(spark, "c3", ["alphabeta", "alpha"])
+    got3 = {(r["subject"], r["object"]): r["predicate"]
+            for r in build_triples(mentions3, turns3)["edges"].collect()}
+    assert got3 == {("alphabeta", "alpha"): "uses"}
+
+
 def test_cue_offset_alias_fallback(spark):
     """A canonical label that never appears in the surface text (alias
     normalization: k8s -> kubernetes) has no recoverable offset; the pair
