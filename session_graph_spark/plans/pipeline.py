@@ -35,6 +35,14 @@ from session_graph_spark.plans.checkpoint import StageStore, filter_unprocessed
 
 MIN_SESSIONS = 2  # reference --min-sessions default (link_entities.py:824-828)
 
+# parallel slices per band label for the context-sample top-K (see
+# _mention_context): bounds the largest single-task sort at
+# n_label_turns / CTX_SAMPLE_SALTS rows regardless of how hot the label
+# is. 64 keeps every executor of a wide cluster busy on one hot label
+# while phase 2 stays trivially small (<= 64 * CTX_EVIDENCE_TURNS rows
+# per label).
+CTX_SAMPLE_SALTS = 64
+
 
 @dataclass
 class ResolutionResult:
@@ -188,16 +196,35 @@ def _mention_context(mentions: DataFrame, aliases: DataFrame,
         band_m = canon.join(F.broadcast(wanted), "canon_label", "left_semi")
     # hash-spread order: an unbiased deterministic sample of the label's
     # turns (md5 is identical in Spark and DuckDB, so the oracle mirrors
-    # the exact sample); conv/turn tiebreak for md5-collision paranoia
+    # the exact sample); conv/turn tiebreak for md5-collision paranoia.
+    # Top-K is SALTED TWO-PHASE: band labels are hot by nature ('not',
+    # 'apache spark'), so a single partitionBy(label) window sorts each
+    # hot label's whole turn set inside ONE task — per-stage attribution
+    # (scripts/stage_scaling.py) measured this stage at 0.36 scaling
+    # efficiency 1->4 cores while extraction scaled at 0.93, and on a
+    # real cluster one task owning a hot label's billions of rows is a
+    # straggler by construction. Phase 1 ranks within (label, salt)
+    # slices in parallel and keeps K per slice; phase 2 ranks the
+    # <= SALTS*K survivors per label. The orderBy is a total order
+    # (md5, conv, turn), so the K rows selected are bit-identical to the
+    # unsalted window's — the oracle mirror is unchanged.
     sample_key = F.md5(
         F.concat_ws("|", F.col("conv_id"), F.col("turn_idx").cast("string"))
     )
-    w = Window.partitionBy("canon_label").orderBy(
+    w1 = Window.partitionBy("canon_label", "__salt").orderBy(
+        sample_key, "conv_id", "turn_idx"
+    )
+    w2 = Window.partitionBy("canon_label").orderBy(
         sample_key, "conv_id", "turn_idx"
     )
     sampled = (
         band_m.select("canon_label", "conv_id", "turn_idx").distinct()
-        .withColumn("__rk", F.row_number().over(w))
+        .withColumn("__salt",
+                    F.pmod(F.xxhash64("conv_id", "turn_idx"),
+                           F.lit(CTX_SAMPLE_SALTS)))
+        .withColumn("__rk1", F.row_number().over(w1))
+        .where(F.col("__rk1") <= CTX_EVIDENCE_TURNS)
+        .withColumn("__rk", F.row_number().over(w2))
         .where(F.col("__rk") <= CTX_EVIDENCE_TURNS)
         .select(F.col("canon_label").alias("__band"), "conv_id", "turn_idx")
     )
