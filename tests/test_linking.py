@@ -376,6 +376,45 @@ def test_generated_gazetteer_dimension(spark, tmp_path):
                 under_big[lbl]["linked"]), lbl
 
 
+def test_kb_pipeline_composite_under_large_dimension(spark, tmp_path):
+    """The end-to-end KB composite (resolve -> per-cluster context ->
+    link -> counters: the driver's kb_pipeline flow, reference
+    link_entities.py main flow) runs green with the full 30k generated
+    gazetteer wired in via kb_df(path=...), and every cluster the
+    curated dimension could see (confidence > 0) links IDENTICALLY —
+    extra generated entries may only add links to previously not-found
+    clusters, never change or remove curated ones."""
+    from session_graph_spark import kbgen
+    from session_graph_spark.operators.linking import kb_df, link_clusters
+    from session_graph_spark.operators.triples import entity_context
+    from session_graph_spark.plans.pipeline import resolve
+    from session_graph_spark.sources.testdata import documents_as_turns
+
+    res = resolve(spark, documents_as_turns(spark, "/root/testdata/sf0.001"))
+    ctx = entity_context(
+        res.mention_clusters.select(
+            "conv_id", "turn_idx", F.col("cluster_id").alias("canon_label"))
+    )
+    path = str(tmp_path / "kb30k")
+    kbgen.write_kb(spark, path, n=30000, seed=7)
+
+    linked_small = {r["cluster_id"]: r for r in
+                    link_clusters(res.clusters, kb_df(spark),
+                                  context=ctx).collect()}
+    linked_big = {r["cluster_id"]: r for r in
+                  link_clusters(res.clusters, kb_df(spark, path=path),
+                                context=ctx).collect()}
+    assert set(linked_big) == set(linked_small) != set()
+    for cid, s in linked_small.items():
+        if s["confidence"] > 0:
+            b = linked_big[cid]
+            assert (b["kb_id"], b["confidence"], b["linked"]) == \
+                   (s["kb_id"], s["confidence"], s["linked"]), cid
+    n_small = sum(1 for r in linked_small.values() if r["linked"])
+    n_big = sum(1 for r in linked_big.values() if r["linked"])
+    assert n_big >= n_small
+
+
 def test_link_clusters_consumes_context(spark):
     """link_clusters feeds entity_context evidence through to the linker
     (reference link_entities.py:653-663)."""
