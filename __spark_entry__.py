@@ -1632,7 +1632,9 @@ def _score_cc_cte(labels_rel: str, ctx_src: str | None = "derive") -> str:
     ctx_src controls the surrounding-turn-context bonus the pipeline
     applies since round 4 — BAND-GATED: for kernel scores in
     [threshold - CTX_WEIGHT, threshold), score = min(kernel + CTX_WEIGHT
-    * jaccard(top-5 co-mention vectors), 1.0); other scores stay the pure
+    * jaccard(top-5 co-mention vectors), 1.0) when the jaccard clears the
+    CTX_MIN_JACC evidence floor (round 5: partial context overlap is
+    chance, not evidence — see similarity.py); other scores stay the pure
     kernel (an additive bonus cannot flip decisions outside the band, so
     the gate is exact). Context vectors mirror _mention_context: content
     restricted to the surviving label set, coverage to the band labels,
@@ -1645,6 +1647,7 @@ def _score_cc_cte(labels_rel: str, ctx_src: str | None = "derive") -> str:
         (conv_id, turn_idx, canon_label) — used by the pytest replay;
       - None: string kernel only (use_context=False)."""
     from session_graph_spark.functions.similarity import (CTX_EVIDENCE_TURNS,
+                                                          CTX_MIN_JACC,
                                                           CTX_WEIGHT,
                                                           MATCH_THRESHOLD)
 
@@ -1708,13 +1711,15 @@ def _score_cc_cte(labels_rel: str, ctx_src: str | None = "derive") -> str:
         scored AS MATERIALIZED (
           SELECT label_a, label_b,
             CASE WHEN k >= {band_lo!r} AND k < 0.7
-                 THEN least(k + {CTX_WEIGHT!r} * coalesce(
-                        len(list_intersect(sca.ctx, scb.ctx)) * 1.0
-                        / len(list_distinct(list_concat(sca.ctx, scb.ctx))),
-                        0.0), 1.0)
+                 THEN least(k + CASE WHEN coalesce(jacc, 0.0) >= {CTX_MIN_JACC!r}
+                                 THEN {CTX_WEIGHT!r} * jacc
+                                 ELSE 0.0 END, 1.0)
                  ELSE k END AS score
-          FROM sc_k LEFT JOIN sc_ctx sca ON sc_k.label_a = sca.label
-                    LEFT JOIN sc_ctx scb ON sc_k.label_b = scb.label),"""
+          FROM (SELECT sc_k.*,
+                       len(list_intersect(sca.ctx, scb.ctx)) * 1.0
+                       / len(list_distinct(list_concat(sca.ctx, scb.ctx))) AS jacc
+                FROM sc_k LEFT JOIN sc_ctx sca ON sc_k.label_a = sca.label
+                          LEFT JOIN sc_ctx scb ON sc_k.label_b = scb.label)),"""
     return f"""
         lab AS (SELECT DISTINCT canon_label, block_key FROM {labels_rel}),
         exact AS (

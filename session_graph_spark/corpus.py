@@ -87,7 +87,12 @@ ENTITY_VARIANTS: dict[str, list[str]] = {
     # 0.8 rung; quicksilver: KB alias of the non-tech mercury sense -> the
     # 0.5 below-threshold path; zephyrdb/quantafold: in no KB -> the
     # negative (not_found) path. None is edit-distance-confusable with an
-    # existing planted entity (scores stay < 0.7 against all of them).
+    # existing planted entity: string kernels stay < 0.7 against all of
+    # them, and the context bonus cannot bridge the gap by chance —
+    # ecmascript/javascript (kernel 0.6586, inside the bonus band) hit a
+    # 2/3 context jaccard at one corpus seed, which is why the bonus
+    # carries the CTX_MIN_JACC evidence floor (similarity.py); the
+    # multi-seed F1 test pins that seed.
     "ecmascript": ["ecmascript"],
     "quicksilver": ["quicksilver"],
     "zephyrdb": ["zephyrdb", "zephyrdbb"],

@@ -30,6 +30,16 @@ W_TRIGRAM_JACCARD = 0.20
 # negatives (java/javascript base ~0.60, python/pytorch ~0.61) stay below
 # the 0.7 threshold even at perfect context agreement (F1 gate pins this).
 CTX_WEIGHT = 0.08
+# evidence floor: the bonus applies only when the two context vectors
+# agree ESSENTIALLY COMPLETELY (jaccard >= 0.8 — for two full top-5
+# vectors the possible jaccards jump from 2/3 to 1.0, so this means set
+# identity). Partial overlap is not evidence of sameness: two DISTINCT
+# band-kernel entities can share most co-mentions by chance in a small
+# corpus (seed-robustness probe: ecmascript/javascript, kernel 0.6586,
+# hit jaccard 2/3 at one corpus seed and crossed 0.7 before the floor —
+# the multi-seed F1 test pins that seed now). True same-entity variants
+# converge to identical top-5 vectors as evidence grows.
+CTX_MIN_JACC = 0.8
 # bounded evidence: a label's context vector aggregates a deterministic
 # HASH-SPREAD sample of CTX_EVIDENCE_TURNS of its turns (ordered by
 # md5(conv_id|turn_idx) — an unbiased spread over the label's whole turn

@@ -18,7 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from session_graph_spark.functions.similarity import (CTX_WEIGHT, MATCH_THRESHOLD,
+from session_graph_spark.functions.similarity import (CTX_MIN_JACC, CTX_WEIGHT,
+                                                      MATCH_THRESHOLD,
                                                       pair_score)
 
 PAIR_KEY = ["label_a", "label_b"]
@@ -52,11 +53,14 @@ def apply_context_bonus(scored: DataFrame, context: DataFrame,
     """Blend the surrounding-turn-context signal the north star calls for
     into borderline pair scores: for kernel scores in [CTX_BAND_LO,
     threshold), score = min(kernel + ctx_weight * jaccard(ctx_a, ctx_b),
-    1.0); all other scores pass through untouched. `context` is a
-    (canon_label, context array<string>) frame (entity_context output) —
-    it only needs rows for band labels. The Jaccard is a JVM column
-    (array_intersect/array_union over the two top-5 arrays); the Arrow
-    kernel stays string-only and bit-identical to DuckDB's."""
+    1.0) WHEN the jaccard clears the CTX_MIN_JACC evidence floor
+    (essentially identical vectors — partial overlap is chance, not
+    evidence; see similarity.py); all other scores pass through
+    untouched. `context` is a (canon_label, context array<string>) frame
+    (entity_context output) — it only needs rows for band labels. The
+    Jaccard is a JVM column (array_intersect/array_union over the two
+    top-5 arrays); the Arrow kernel stays string-only and bit-identical
+    to DuckDB's."""
     ca = context.select(F.col("canon_label").alias("label_a"),
                         F.col("context").alias("__ctx_a"))
     cb = context.select(F.col("canon_label").alias("label_b"),
@@ -69,6 +73,7 @@ def apply_context_bonus(scored: DataFrame, context: DataFrame,
         (F.col("score") >= F.lit(CTX_BAND_LO))
         & (F.col("score") < F.lit(MATCH_THRESHOLD))
     )
+    bonus = F.when(jacc >= F.lit(CTX_MIN_JACC), F.lit(ctx_weight) * jacc)
     return (
         scored.join(F.broadcast(ca), "label_a", "left")
         .join(F.broadcast(cb), "label_b", "left")
@@ -77,8 +82,7 @@ def apply_context_bonus(scored: DataFrame, context: DataFrame,
             F.when(
                 in_band,
                 F.least(
-                    F.col("score")
-                    + F.lit(ctx_weight) * F.coalesce(jacc, F.lit(0.0)),
+                    F.col("score") + F.coalesce(bonus, F.lit(0.0)),
                     F.lit(1.0),
                 ),
             ).otherwise(F.col("score")),

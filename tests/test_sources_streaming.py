@@ -452,7 +452,9 @@ def test_context_bonus_invariants(spark):
     """apply_context_bonus: (1) scores outside the band pass through
     bit-identically; (2) the bonus never decreases a score; (3) the
     result caps at 1.0; (4) a label with no context vector gets the pure
-    kernel score."""
+    kernel score; (5) partial context overlap below the CTX_MIN_JACC
+    evidence floor earns NO bonus (chance convergence must not flip
+    band-kernel negatives — the seed-robustness fix)."""
     from session_graph_spark.operators.scoring import (CTX_BAND_LO,
                                                        apply_context_bonus)
 
@@ -474,7 +476,7 @@ def test_context_bonus_invariants(spark):
     assert out[("a", "b")] == 0.50          # below band: untouched
     assert out[("g", "h")] == 0.75          # at/above threshold: untouched
     assert out[("i", "j")] == 0.99
-    assert out[("c", "d")] == 0.65 + 0.08 * 0.5   # jacc(xyz, xyw) = 2/4
+    assert out[("c", "d")] == 0.65          # jacc(xyz, xyw) = 0.5 < floor
     assert out[("e", "f")] == min(0.695 + 0.08 * 1.0, 1.0)
     assert out[("k", "noctx")] == 0.69      # missing vector: kernel only
     assert all(v <= 1.0 for v in out.values())
