@@ -1604,10 +1604,15 @@ def _er_clusters_oracle() -> str:
 def kernel_score_sql(a: str, b: str, ta: str = "ta", tb: str = "tb") -> str:
     """The DuckDB form of similarity.combined_score for a != b: bit-equal
     to the Python kernel (same IEEE-double expression order; DuckDB's
-    jaro_winkler_similarity and levenshtein are algorithm-identical to
-    ours — property-tested in tests/test_similarity.py). `ta`/`tb` are
-    padded-trigram list columns built with trigram_list_sql."""
-    return f"""0.45 * jaro_winkler_similarity({a}, {b})
+    jaro_winkler_similarity, jaro_similarity and levenshtein are
+    algorithm-identical to ours — property-tested in
+    tests/test_similarity.py). Multi-word pairs use plain Jaro — the
+    Winkler prefix boost must not reward a shared brand/namespace first
+    token (see similarity.combined_score). `ta`/`tb` are padded-trigram
+    list columns built with trigram_list_sql."""
+    return f"""0.45 * (CASE WHEN contains({a}, ' ') OR contains({b}, ' ')
+                       THEN jaro_similarity({a}, {b})
+                       ELSE jaro_winkler_similarity({a}, {b}) END)
             + 0.35 * (1.0 - levenshtein({a}, {b}) * 1.0
                       / greatest(length({a}), length({b})))
             + 0.20 * (len(list_intersect({ta}, {tb})) * 1.0
@@ -1633,10 +1638,12 @@ def _score_cc_cte(labels_rel: str, ctx_src: str | None = "derive") -> str:
     applies since round 4 — BAND-GATED: for kernel scores in
     [threshold - CTX_WEIGHT, threshold), score = min(kernel + CTX_WEIGHT
     * jaccard(top-5 co-mention vectors), 1.0) when the jaccard clears the
-    CTX_MIN_JACC evidence floor (round 5: partial context overlap is
-    chance, not evidence — see similarity.py); other scores stay the pure
-    kernel (an additive bonus cannot flip decisions outside the band, so
-    the gate is exact). Context vectors mirror _mention_context: content
+    CTX_MIN_JACC evidence floor AND the pair is variant-shaped
+    (levenshtein_ratio >= CTX_VARIANT_LEV — round 5: partial context
+    overlap is chance, and context agreement alone must never bridge
+    distinct morphemes; see similarity.py for both rationales); other
+    scores stay the pure kernel (an additive bonus cannot flip decisions
+    outside the band, so the gate is exact). Context vectors mirror _mention_context: content
     restricted to the surviving label set, coverage to the band labels,
     evidence to a deterministic hash-spread sample of
     CTX_EVIDENCE_TURNS turns per band label (ordered by md5(conv|turn),
@@ -1648,6 +1655,7 @@ def _score_cc_cte(labels_rel: str, ctx_src: str | None = "derive") -> str:
       - None: string kernel only (use_context=False)."""
     from session_graph_spark.functions.similarity import (CTX_EVIDENCE_TURNS,
                                                           CTX_MIN_JACC,
+                                                          CTX_VARIANT_LEV,
                                                           CTX_WEIGHT,
                                                           MATCH_THRESHOLD)
 
@@ -1712,6 +1720,10 @@ def _score_cc_cte(labels_rel: str, ctx_src: str | None = "derive") -> str:
           SELECT label_a, label_b,
             CASE WHEN k >= {band_lo!r} AND k < 0.7
                  THEN least(k + CASE WHEN coalesce(jacc, 0.0) >= {CTX_MIN_JACC!r}
+                                      AND 1.0 - levenshtein(label_a, label_b)
+                                          / greatest(length(label_a),
+                                                     length(label_b))
+                                          >= {CTX_VARIANT_LEV!r}
                                  THEN {CTX_WEIGHT!r} * jacc
                                  ELSE 0.0 END, 1.0)
                  ELSE k END AS score

@@ -113,6 +113,14 @@ NEGATIVE_PAIRS: list[tuple[str, str]] = [
     ("nginx", "next.js"),
     ("ansible", "apache spark"),
     ("javascript", "ecmascript"),
+    # the apache family: distinct products whose kernels crowd the
+    # threshold from below (flink|spark 0.6970, flink|kafka 0.6729,
+    # airflow|flink 0.6670) — the canary for any scoring change that
+    # lets near-band pairs cross 0.7 (a context bonus without the
+    # variant-shape guard transitively merged all five at some seeds)
+    ("apache flink", "apache spark"),
+    ("apache airflow", "apache kafka"),
+    ("apache flink", "apache iceberg"),
 ]
 
 # noise the L1/L2 filters must reject — one exemplar per rule group

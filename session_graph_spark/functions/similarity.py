@@ -40,6 +40,18 @@ CTX_WEIGHT = 0.08
 # the multi-seed F1 test pins that seed now). True same-entity variants
 # converge to identical top-5 vectors as evidence grows.
 CTX_MIN_JACC = 0.8
+# variant-shape guard: context agreement alone can NEVER be allowed to
+# cross the threshold, because distinct real entities crowd the
+# threshold from below (apache flink|apache spark kernel = 0.6970) and
+# genuinely share contexts — at some corpus seeds identical top-5
+# vectors transitively merged all five apache products. The bonus is
+# therefore restricted to VARIANT-SHAPED pairs: levenshtein_ratio >=
+# CTX_VARIANT_LEV, i.e. keystroke-scale edits (typo variants:
+# kubernetes|kubernets 0.9, postgresql|postgresq 0.9) — distinct
+# products differ by whole morphemes (apache flink|apache spark 0.667,
+# ecmascript|javascript 0.7) and stay below it. Context then only
+# arbitrates pairs whose strings already look like the same word.
+CTX_VARIANT_LEV = 0.8
 # bounded evidence: a label's context vector aggregates a deterministic
 # HASH-SPREAD sample of CTX_EVIDENCE_TURNS of its turns (ordered by
 # md5(conv_id|turn_idx) — an unbiased spread over the label's whole turn
@@ -135,10 +147,22 @@ def token_jaccard(a: str, b: str) -> float:
 
 
 def combined_score(a: str, b: str) -> float:
+    """0.45*name_sim + 0.35*lev_ratio + 0.20*trigram_jaccard, where
+    name_sim is Jaro-Winkler for single-word pairs but PLAIN Jaro when
+    either label is multi-word. The Winkler prefix boost models "typos
+    rarely hit a word's first letters" — valid within one word, wrong
+    across word boundaries, where a shared first TOKEN is a brand or
+    namespace, not evidence of sameness: with the boost,
+    'apache kafka'|'apache spark' scored 0.7020 (>= the 0.7 threshold)
+    and silently co-clustered on every corpus seed; without it the pair
+    is 0.6654 and every apache product stays distinct, while all
+    single-word typo positives are untouched (DuckDB mirror:
+    kernel_score_sql; jaro_similarity bit-parity property-tested)."""
     if a == b:
         return 1.0
+    name_sim = jaro(a, b) if (" " in a or " " in b) else jaro_winkler(a, b)
     return (
-        W_JARO_WINKLER * jaro_winkler(a, b)
+        W_JARO_WINKLER * name_sim
         + W_LEVENSHTEIN * levenshtein_ratio(a, b)
         + W_TRIGRAM_JACCARD * trigram_jaccard(a, b)
     )

@@ -18,7 +18,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from session_graph_spark.functions.similarity import (CTX_MIN_JACC, CTX_WEIGHT,
+from session_graph_spark.functions.similarity import (CTX_MIN_JACC,
+                                                      CTX_VARIANT_LEV,
+                                                      CTX_WEIGHT,
                                                       MATCH_THRESHOLD,
                                                       pair_score)
 
@@ -55,8 +57,10 @@ def apply_context_bonus(scored: DataFrame, context: DataFrame,
     threshold), score = min(kernel + ctx_weight * jaccard(ctx_a, ctx_b),
     1.0) WHEN the jaccard clears the CTX_MIN_JACC evidence floor
     (essentially identical vectors — partial overlap is chance, not
-    evidence; see similarity.py); all other scores pass through
-    untouched. `context` is a (canon_label, context array<string>) frame
+    evidence) AND the pair is variant-shaped (levenshtein_ratio >=
+    CTX_VARIANT_LEV — context may arbitrate typo-scale string pairs but
+    never bridge distinct morphemes; see similarity.py for both
+    rationales); all other scores pass through untouched. `context` is a (canon_label, context array<string>) frame
     (entity_context output) — it only needs rows for band labels. The
     Jaccard is a JVM column (array_intersect/array_union over the two
     top-5 arrays); the Arrow kernel stays string-only and bit-identical
@@ -73,7 +77,13 @@ def apply_context_bonus(scored: DataFrame, context: DataFrame,
         (F.col("score") >= F.lit(CTX_BAND_LO))
         & (F.col("score") < F.lit(MATCH_THRESHOLD))
     )
-    bonus = F.when(jacc >= F.lit(CTX_MIN_JACC), F.lit(ctx_weight) * jacc)
+    variant_shaped = (
+        1.0
+        - F.levenshtein("label_a", "label_b")
+        / F.greatest(F.length("label_a"), F.length("label_b"))
+    ) >= F.lit(CTX_VARIANT_LEV)
+    bonus = F.when(variant_shaped & (jacc >= F.lit(CTX_MIN_JACC)),
+                   F.lit(ctx_weight) * jacc)
     return (
         scored.join(F.broadcast(ca), "label_a", "left")
         .join(F.broadcast(cb), "label_b", "left")

@@ -30,20 +30,35 @@ def test_f1_gate(spark, result):
 
 
 def test_f1_gate_seed_robustness(spark):
-    """The F1 gate must hold for corpus RNG the shipped seed never saw.
-    Seed 2026 is the regression pin: before the CTX_MIN_JACC evidence
-    floor, ecmascript/javascript (kernel 0.6586, inside the bonus band)
-    drew a 2/3 context jaccard from that seed's co-mention noise and
-    crossed the 0.7 threshold (F1 0.9855, 2 labeled-negative FPs)."""
+    """The F1 gate must hold for corpus RNG and corpus sizes the shipped
+    seed never saw, and — stronger than F1 over the labeled pairs — no
+    two DISTINCT planted canonical entities may ever co-cluster.
+
+    Regression pins: before the CTX_MIN_JACC evidence floor,
+    ecmascript/javascript (kernel 0.6586, inside the bonus band) drew a
+    2/3 context jaccard from seed 2026's co-mention noise and crossed
+    0.7 (F1 0.9855); before the CTX_VARIANT_LEV shape guard, IDENTICAL
+    top-5 vectors at seeds 99/777 (and at the shipped seed with a 5x
+    corpus) transitively merged all five apache products — a silent
+    error until the apache pairs joined the labeled negatives."""
     lp = spark.createDataFrame(corpus.labeled_pairs_pdf())
-    for seed in (2026, 7):
-        turns = corpus.generate_turns(spark, n_convs=120, seed=seed)
+    planted = set(corpus.ENTITY_VARIANTS.keys())
+    for seed, n_convs in ((2026, 120), (99, 120), (777, 120), (42, 600)):
+        turns = corpus.generate_turns(spark, n_convs=n_convs, seed=seed)
         res = resolve(spark, turns)
         scores = pairwise_f1(res.clusters, lp, alias_df(spark))
+        cl = {r["label"]: r["cluster_id"] for r in res.clusters.collect()
+              if r["label"] in planted}
         res.unpersist()
         assert scores.f1 >= 0.99, (
-            f"seed={seed} F1={scores.f1:.4f} p={scores.precision:.4f} "
-            f"r={scores.recall:.4f} fp={scores.fp} fn={scores.fn}"
+            f"seed={seed} n={n_convs} F1={scores.f1:.4f} "
+            f"p={scores.precision:.4f} r={scores.recall:.4f} "
+            f"fp={scores.fp} fn={scores.fn}"
+        )
+        assert len(set(cl.values())) == len(cl), (
+            f"seed={seed} n={n_convs}: distinct planted canonicals "
+            f"co-clustered: "
+            f"{[sorted(k for k in cl if cl[k] == v) for v in set(cl.values()) if list(cl.values()).count(v) > 1]}"
         )
 
 

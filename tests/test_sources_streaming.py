@@ -454,31 +454,44 @@ def test_context_bonus_invariants(spark):
     result caps at 1.0; (4) a label with no context vector gets the pure
     kernel score; (5) partial context overlap below the CTX_MIN_JACC
     evidence floor earns NO bonus (chance convergence must not flip
-    band-kernel negatives — the seed-robustness fix)."""
+    band-kernel negatives); (6) a pair that is not variant-shaped
+    (levenshtein_ratio < CTX_VARIANT_LEV) earns NO bonus even at perfect
+    context identity — context agreement never bridges distinct
+    morphemes (the apache flink|apache spark class)."""
     from session_graph_spark.operators.scoring import (CTX_BAND_LO,
                                                        apply_context_bonus)
 
     scored = spark.createDataFrame(
-        [("a", "b", 0.50), ("c", "d", 0.65), ("e", "f", 0.695),
-         ("g", "h", 0.75), ("i", "j", 0.99), ("k", "noctx", 0.69)],
+        [("alpha", "beta", 0.50),
+         ("postgresql", "postgresq", 0.65),       # variant shape, weak ctx
+         ("kubernetes", "kubernets", 0.695),      # variant shape, full ctx
+         ("ecmascript", "javascript", 0.68),      # NOT variant-shaped (0.7)
+         ("gamma", "delta", 0.75),
+         ("iota", "jota", 0.99),
+         ("kubernetes", "noctx", 0.69)],
         "label_a string, label_b string, score double",
     )
     ctx = spark.createDataFrame(
-        [("a", ["x", "y"]), ("b", ["x", "y"]),
-         ("c", ["x", "y", "z"]), ("d", ["x", "y", "w"]),
-         ("e", ["x"]), ("f", ["x"]),
-         ("g", ["x"]), ("h", ["x"]),
-         ("i", ["x"]), ("j", ["x"]), ("k", ["x"])],
+        [("alpha", ["x", "y"]), ("beta", ["x", "y"]),
+         ("postgresql", ["x", "y", "z"]), ("postgresq", ["x", "y", "w"]),
+         ("kubernetes", ["x"]), ("kubernets", ["x"]),
+         ("ecmascript", ["x"]), ("javascript", ["x"]),
+         ("gamma", ["x"]), ("delta", ["x"]),
+         ("iota", ["x"]), ("jota", ["x"])],
         "canon_label string, context array<string>",
     )
     out = {(r["label_a"], r["label_b"]): r["score"]
            for r in apply_context_bonus(scored, ctx).collect()}
-    assert out[("a", "b")] == 0.50          # below band: untouched
-    assert out[("g", "h")] == 0.75          # at/above threshold: untouched
-    assert out[("i", "j")] == 0.99
-    assert out[("c", "d")] == 0.65          # jacc(xyz, xyw) = 0.5 < floor
-    assert out[("e", "f")] == min(0.695 + 0.08 * 1.0, 1.0)
-    assert out[("k", "noctx")] == 0.69      # missing vector: kernel only
+    assert out[("alpha", "beta")] == 0.50   # below band: untouched
+    assert out[("gamma", "delta")] == 0.75  # at/above threshold: untouched
+    assert out[("iota", "jota")] == 0.99
+    # jacc(xyz, xyw) = 0.5 < floor -> kernel only, despite variant shape
+    assert out[("postgresql", "postgresq")] == 0.65
+    # variant-shaped (ratio 0.9) + identical ctx -> bonus
+    assert out[("kubernetes", "kubernets")] == min(0.695 + 0.08 * 1.0, 1.0)
+    # identical ctx but ratio 0.7 < CTX_VARIANT_LEV -> NO bonus
+    assert out[("ecmascript", "javascript")] == 0.68
+    assert out[("kubernetes", "noctx")] == 0.69  # missing vector
     assert all(v <= 1.0 for v in out.values())
     assert CTX_BAND_LO < 0.7
 
