@@ -37,11 +37,24 @@ CTX_BAND_LO = MATCH_THRESHOLD - CTX_WEIGHT
 
 
 def band_labels(scored: DataFrame) -> DataFrame:
-    """Distinct labels appearing in any borderline pair — the only labels
-    whose context vectors the bonus can consult."""
+    """Distinct labels appearing in a borderline pair the bonus could
+    actually move: kernel in [CTX_BAND_LO, threshold) AND variant-shaped
+    (levenshtein_ratio >= CTX_VARIANT_LEV — apply_context_bonus gives
+    non-variant pairs nothing, so their labels need no vectors). The
+    shape cut prunes the context build hard: band kernels are dominated
+    by morpheme-distinct near-misses (hot-token pairs, brand families
+    like apache *), while variant-shaped band pairs are rare typo
+    variants. Skipping a label's vector is observationally identical to
+    building it — every pair that could consult it is guarded off —
+    which is why the DuckDB oracle can keep building vectors for the
+    full band while parity still holds bit-for-bit."""
     band = scored.where(
         (F.col("score") >= F.lit(CTX_BAND_LO))
         & (F.col("score") < F.lit(MATCH_THRESHOLD))
+        & ((1.0
+            - F.levenshtein("label_a", "label_b")
+            / F.greatest(F.length("label_a"), F.length("label_b")))
+           >= F.lit(CTX_VARIANT_LEV))
     )
     return (
         band.select(F.col("label_a").alias("canon_label"))
