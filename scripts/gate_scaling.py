@@ -1,0 +1,130 @@
+"""Round-6 PRE-REGISTERED scaling gate (BASELINE.json: eff >= 0.8 at N vs 4N).
+
+The full protocol lives in BASELINE.md ("Round-6 PRE-REGISTERED scaling
+protocol") and was committed BEFORE any round-6 scaling measurement. In
+brief:
+
+- corpus: bench corpus recipe at sf0.3 (540,000 convs, seed 42, 64
+  partitions — bench.py's exact cache key), pre-generated outside the
+  timed reps;
+- arms: local[1] vs local[4], >= 10 reps per arm, STRICTLY INTERLEAVED
+  (1,4,1,4,...), each rep one fresh cold-JVM bench.py subprocess with
+  SPARK_GRAFT_ER_REPS=1 SPARK_GRAFT_HEADLINE_ONLY=1;
+- estimator (THE gate number, fixed before data): symmetric second-
+  minimum — eff = (secondmin(T_1) / secondmin(T_4)) / 4; strict
+  min-per-side reported alongside but not the gate;
+- pass: eff >= 0.8.
+
+Every rep is appended to scripts/gate_r6_pools.jsonl as it completes
+(crash-safe); GATE_ANALYZE_ONLY=1 recomputes the summary from the file
+without running anything.
+
+Env: GATE_REPS (default 10), GATE_SF (default 0.3), GATE_N (default 1),
+     GATE_POOL (default scripts/gate_r6_pools.jsonl).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from datetime import datetime, timezone
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def pregen_corpus(sf: float) -> str:
+    """Generate the shared corpus once at full width (not timed)."""
+    sys.path.insert(0, REPO)
+    from session_graph_spark import corpus
+    from session_graph_spark.session import get_spark
+
+    n_convs = max(300, int(1_800_000 * sf))
+    path = f"/tmp/spark_graft_corpus_{corpus.corpus_cache_key(n_convs, 42)}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        spark = get_spark(app_name="gate_pregen", master="local[32]")
+        spark.sparkContext.setLogLevel("ERROR")
+        t0 = time.time()
+        corpus.generate_turns_distributed(
+            spark, n_convs=n_convs, seed=42, partitions=64
+        ).write.mode("overwrite").parquet(path)
+        print(f"corpus {n_convs} convs generated in {time.time() - t0:.0f}s",
+              file=sys.stderr)
+        spark.stop()
+    return path
+
+
+def run_rep(cpus: int, sf: float) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        # headline mode never reads the sf dir; only the sf regex matters
+        SPARK_GRAFT_SF_DIR=f"/root/testdata/sf{sf}",
+        SPARK_GRAFT_ER_REPS="1",
+        SPARK_GRAFT_HEADLINE_ONLY="1",
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, capture_output=True, text=True, timeout=3600, check=True,
+    )
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def analyze(pool_path: str, n: int) -> dict:
+    with open(pool_path) as f:
+        rows = [json.loads(ln) for ln in f if ln.strip()]
+    pools: dict[int, list[float]] = {}
+    for r in rows:
+        pools.setdefault(r["cpus"], []).append(r["er_sec"])
+    t1 = sorted(pools.get(n, []))
+    t4 = sorted(pools.get(4 * n, []))
+    if len(t1) < 2 or len(t4) < 2:
+        return {"error": "need >= 2 reps per arm", "n1": len(t1), "n4": len(t4)}
+    eff_2ndmin = round((t1[1] / t4[1]) / 4.0, 3)
+    eff_strict = round((t1[0] / t4[0]) / 4.0, 3)
+    return {
+        "estimator": "symmetric_second_minimum (PRE-REGISTERED)",
+        "efficiency": eff_2ndmin,
+        "pass": eff_2ndmin >= 0.8,
+        "strict_min_per_side": eff_strict,
+        "secondmin_1core_sec": t1[1], "secondmin_4core_sec": t4[1],
+        "min_1core_sec": t1[0], "min_4core_sec": t4[0],
+        "n_reps": {"1core": len(t1), "4core": len(t4)},
+        "pool_1core": t1, "pool_4core": t4,
+    }
+
+
+def main() -> None:
+    reps = int(os.environ.get("GATE_REPS", "10"))
+    sf = float(os.environ.get("GATE_SF", "0.3"))
+    n = int(os.environ.get("GATE_N", "1"))
+    pool_path = os.environ.get(
+        "GATE_POOL", os.path.join(REPO, "scripts", "gate_r6_pools.jsonl"))
+
+    if not os.environ.get("GATE_ANALYZE_ONLY"):
+        pregen_corpus(sf)
+        for i in range(reps):
+            for cpus in (n, 4 * n):
+                t0 = time.time()
+                r = run_rep(cpus, sf)
+                rec = {
+                    "rep": i, "cpus": cpus,
+                    "er_sec": r["queries"]["er_pipeline"],
+                    "turns": r["er_turns"],
+                    "turns_per_sec": r["er_turns_per_sec"],
+                    "wall_sec": round(time.time() - t0, 1),
+                    "ts": datetime.now(timezone.utc).isoformat(),
+                }
+                with open(pool_path, "a") as f:
+                    f.write(json.dumps(rec) + "\n")
+                print(json.dumps(rec), flush=True)
+
+    summary = analyze(pool_path, n)
+    print(json.dumps(summary, indent=2))
+
+
+if __name__ == "__main__":
+    main()
