@@ -326,8 +326,11 @@ def q_triple_hubs(spark, sf):
     from session_graph_spark.sources.testdata import documents_as_turns
 
     turns = prepare_turns(documents_as_turns(spark, sf))
-    mentions = apply_aliases(mentions_from_turns(turns), alias_df(spark),
-                             "norm_label", "canon_label")
+    # with_offsets=True: the standard triple path — build_triples picks
+    # per-pair cue predicates from the extractor's TRUE mention offsets
+    # (alias-normalized labels included) instead of re-locating labels
+    mentions = apply_aliases(mentions_from_turns(turns, with_offsets=True),
+                             alias_df(spark), "norm_label", "canon_label")
     edges = build_triples(mentions, turns)["edges"]
     return hub_by_triple_degree(edges, k=20)
 

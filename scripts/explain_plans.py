@@ -213,6 +213,30 @@ def main() -> None:
         ["aggregate", "locate"],
     ))
 
+    # 10b. round 6: the standard triple path — extractor-carried mention
+    # offsets (extract_mentions with_offsets=True) feeding build_triples.
+    # The offset folds are higher-order JVM expressions too: still no
+    # Python evaluation, no cartesian product anywhere in the composed
+    # plan
+    from session_graph_spark.operators.extract import extract_mentions
+
+    t_demo2 = spark.createDataFrame(
+        [("c", 0, "p", None, "alpha beta k8s uses redis")],
+        "conv_id string, turn_idx int, platform string, ts timestamp, "
+        "text string")
+    m_off = extract_mentions(t_demo2, with_offsets=True) \
+        .withColumnRenamed("norm_label", "canon_label")
+    tri_off_plan = explain_str(build_triples(m_off, t_demo2)["reified"])
+    assert "CartesianProduct" not in tri_off_plan
+    assert "BatchEvalPython" not in tri_off_plan \
+        and "ArrowEvalPython" not in tri_off_plan, \
+        "extractor offset folds must stay JVM-side"
+    sections.append((
+        "Triple predicates via extractor-carried offsets (round 6), pure JVM",
+        tri_off_plan,
+        ["aggregate", "locate"],
+    ))
+
     failures = []
     out = ["# PLANS — physical plan inspection (generated by scripts/explain_plans.py)\n"]
     for title, plan, must in sections:

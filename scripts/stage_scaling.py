@@ -48,6 +48,51 @@ def main() -> None:
         ).write.mode("overwrite").parquet(path)
     warm_udf_workers(spark, spark.read.parquet(path), cpus)
 
+    # SPARK_GRAFT_STAGE_PLANT=<turns per label>: union synthetic turns
+    # containing VARIANT-SHAPED kernel-band pairs (kernel in [0.62, 0.7),
+    # lev_ratio >= 0.8 — verified below) so the context stage actually
+    # RUNS: the bench corpus has no variant-shaped band pair, so the
+    # round-5 band pruning short-circuits ctx_build there and its salted
+    # top-K path has never been measured under load (VERDICT r5 #6).
+    # Each label appears in 2,000 conversations (passes min_sessions)
+    # with shared co-mention words, so the full sample -> vector ->
+    # bonus path is live.
+    plant_n = int(os.environ.get("SPARK_GRAFT_STAGE_PLANT", "0"))
+
+    def read_turns():
+        t = spark.read.parquet(path)
+        if not plant_n:
+            return t
+        from pyspark.sql import functions as F
+
+        from session_graph_spark.functions.similarity import (combined_score,
+                                                              levenshtein_ratio)
+
+        pairs_banded = [("udsufbdqug", "odsufbqug"),
+                        ("mnbeubeoe", "enbeubweoe"),
+                        ("mzhweuayywwyad", "azhweuayydwjyad"),
+                        ("mwufcxljch", "ywufbxljch")]
+        for a, b in pairs_banded:
+            ks, lev = combined_score(a, b), levenshtein_ratio(a, b)
+            assert 0.62 <= ks < 0.70 and lev >= 0.8, (a, b, ks, lev)
+        labels = [x for p in pairs_banded for x in p]
+        li = (F.col("id") % len(labels)).cast("int")
+        k = (F.col("id") / len(labels)).cast("long")
+        lab = F.element_at(F.array(*[F.lit(x) for x in labels]), li + 1)
+        plant = spark.range(plant_n * len(labels), numPartitions=64).select(
+            F.concat(F.lit("plant-"), li.cast("string"), F.lit("-"),
+                     (k % 2000).cast("string")).alias("conv_id"),
+            (k / 2000).cast("int").alias("turn_idx"),
+            F.lit("assistant").alias("role"),
+            F.concat(lab, F.lit(" deploy pipeline with alphaflux and "
+                                "betagrid today")).alias("text"),
+            F.lit(None).cast("string").alias("tool"),
+            F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ts"),
+            F.lit("plant").alias("platform"),
+            F.lit("plant.jsonl").alias("source_file"),
+        )
+        return t.unionByName(plant)
+
     best: dict[str, float] = {}
     for _ in range(reps):
         spark.catalog.clearCache()
@@ -61,7 +106,7 @@ def main() -> None:
             stages[name] = round(time.time() - t0, 3)
             return out
 
-        turns = P.prepare_turns(spark.read.parquet(path))
+        turns = P.prepare_turns(read_turns())
         mentions = P.mentions_from_turns(turns).cache()
         timed("extract", mentions.count)
         labels = P.normalized_labels(mentions, aliases, P.MIN_SESSIONS).cache()

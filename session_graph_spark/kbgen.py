@@ -79,6 +79,37 @@ _NONTECH_ADJ = (
     "ceremonial wandering"
 ).split()
 
+# fixed words the non-tech description templates add around the
+# vocabularies (generate_kb_rows)
+_NONTECH_TEMPLATE_WORDS = ("from", "regional", "folklore", "of", "lore")
+
+
+def _validate_nontech_vocab() -> None:
+    """The 0.5-rung contract is substring-based (linking._tech_keyword_hit):
+    a non-tech description that CONTAINS a tech keyword silently promotes
+    that sense to the 0.8 rung. Validated ONCE at import time with a loud
+    ValueError (an assert would vanish under python -O) instead of
+    rescanning every generated row: non-tech descriptions are space-joined
+    compositions of these fixed vocabularies, so as long as no keyword
+    contains a space, a keyword substring in any composed description
+    implies a keyword substring in one of the composed words."""
+    spaced = [kw for kw in TECH_KEYWORDS if " " in kw]
+    if spaced:
+        raise ValueError(
+            f"TECH_KEYWORDS with spaces {spaced} can span description "
+            "word boundaries; kbgen's import-time vocabulary check no "
+            "longer covers them — reinstate a per-row description scan")
+    words = set(_NONTECH_NOUN) | set(_NONTECH_ADJ) | set(_NONTECH_TEMPLATE_WORDS)
+    bad = [(w, kw) for w in sorted(words) for kw in TECH_KEYWORDS if kw in w]
+    if bad:
+        raise ValueError(
+            f"non-tech vocabulary words contain tech keywords {bad}; "
+            "descriptions built from them would silently promote the "
+            "0.5 rung to 0.8")
+
+
+_validate_nontech_vocab()
+
 
 def _fused(i: int) -> str:
     """Unique fused base name for index i (mixed-radix over the part
@@ -160,12 +191,10 @@ def generate_kb_rows(n: int = 30000, seed: int = 7,
     # primary id so the context-free tie-break keeps the tech sense
     for t, (label, desc) in enumerate(twins):
         rows.append((f"kbx:9{t:05d}", label, desc, []))
-    # the 0.5-rung contract is substring-based (linking._tech_keyword_hit):
-    # a non-tech description accidentally containing a tech keyword would
-    # silently promote its sense to 0.8
-    for _, _, desc, _ in rows:
-        if "folklore" in desc or " lore" in desc:
-            assert not any(kw in desc for kw in TECH_KEYWORDS), desc
+    # the 0.5-rung substring contract (non-tech descriptions must not
+    # contain any TECH_KEYWORD) is enforced once at import time by
+    # _validate_nontech_vocab(), which covers every composition these
+    # templates can produce — no per-row rescan needed
     return rows
 
 

@@ -77,6 +77,10 @@ MENTION_SCHEMA = (
     "conv_id string, turn_idx int, platform string, ts timestamp, "
     "mention string, norm_label string, mention_id string, pos int"
 )
+# with_offsets=True adds `off`: the mention's 1-based char offset in the
+# lowered, truncated turn text (the coordinate system build_triples' cue
+# offsets use for the first EXTRACT_INPUT_MAX_CHARS chars)
+MENTION_SCHEMA_OFFSETS = MENTION_SCHEMA + ", off int"
 
 
 def _normalize_series(s: pd.Series) -> pd.Series:
@@ -88,12 +92,50 @@ def _normalize_series(s: pd.Series) -> pd.Series:
     return s.str.replace(r"[.,;:]+$", "", regex=True)
 
 
-def extract_mentions_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+def _row_offsets(txt: str, phs: list[str], tks: list[str]) -> list[int]:
+    """1-based char offsets (original lowered-text coordinates) for one
+    row's phrase hits + residual tokens, mirroring the SQL form's locate
+    folds EXACTLY (sequential left-to-right find walk; resid offsets
+    mapped back through the cumulative phrase-collapse shifts) so the
+    pandas and SQL engines stay bit-equal."""
+    ph_offs: list[int] = []
+    frm = 0
+    for p in phs:
+        i = txt.find(p, frm)
+        ph_offs.append(i + 1)
+        frm = i + len(p)
+    # phrase k (length L, resid offset roff) collapsed to one space:
+    # resid positions past it shift by a further L-1
+    shifts: list[tuple[int, int]] = []
+    d = 0
+    for p, o in zip(phs, ph_offs):
+        shifts.append((o - d, d + len(p) - 1))
+        d += len(p) - 1
+    resid = _PHRASE_RE.sub(" ", txt)
+    tok_offs: list[int] = []
+    frm = 0
+    for tk in tks:
+        i = resid.find(tk, frm)
+        r = i + 1
+        frm = i + len(tk)
+        sh = 0
+        for roff, s in shifts:  # roff strictly increasing
+            if roff < r:
+                sh = s
+            else:
+                break
+        tok_offs.append(r + sh)
+    return ph_offs + tok_offs
+
+
+def extract_mentions_batch(pdf: pd.DataFrame,
+                           with_offsets: bool = False) -> pd.DataFrame:
     """One Arrow batch of turns -> mention rows."""
+    off_cols = ["off"] if with_offsets else []
     if len(pdf) == 0:
         return pd.DataFrame(
             columns=["conv_id", "turn_idx", "platform", "ts", "mention",
-                     "norm_label", "mention_id", "pos"]
+                     "norm_label", "mention_id", "pos", *off_cols]
         )
     # lowercase once up front: phrase matching avoids IGNORECASE and the
     # downstream normalize/filter work on mention strings sees lowercase
@@ -111,12 +153,19 @@ def extract_mentions_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     # order without a concat+sort over the exploded frame.
     base["mention"] = phrases + tokens
     base["n_ph"] = phrases.str.len()
-    out = base.explode("mention", ignore_index=False)
+    if with_offsets:
+        base["off"] = [
+            _row_offsets(t, p, k)
+            for t, p, k in zip(text.tolist(), phrases.tolist(), tokens.tolist())
+        ]
+    out = base.explode(["mention", *off_cols], ignore_index=False)
     out = out[out["mention"].notna()]
     if len(out) == 0:
         return (out.reset_index(drop=True)
                 .assign(norm_label=[], mention_id=[], pos=[])
-                .drop(columns=["n_ph"]))
+                .drop(columns=["n_ph"])
+                [["conv_id", "turn_idx", "platform", "ts", "mention",
+                  "norm_label", "mention_id", "pos", *off_cols]])
     out["is_phrase"] = out.groupby(level=0).cumcount() < out["n_ph"]
     out = out.reset_index(drop=True)
 
@@ -134,33 +183,46 @@ def extract_mentions_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     )
     out["pos"] = out["pos"].astype("int32")
     out["turn_idx"] = out["turn_idx"].astype("int32")
+    if with_offsets:
+        out["off"] = out["off"].astype("int32")
     out = out.drop(columns=["n_ph", "is_phrase"])
     return out[["conv_id", "turn_idx", "platform", "ts", "mention",
-                "norm_label", "mention_id", "pos"]]
+                "norm_label", "mention_id", "pos", *off_cols]]
 
 
-def extract_mentions_pandas(turns: DataFrame) -> DataFrame:
+def extract_mentions_pandas(turns: DataFrame,
+                            with_offsets: bool = False) -> DataFrame:
     """Arrow-batched pandas implementation (the UDTF-shaped F1 form).
 
     Kept as the reference implementation; `extract_mentions_sql` is
     equivalence-tested against it and is the default in the pipeline.
     """
     cols = ["conv_id", "turn_idx", "platform", "ts", "text"]
+    schema = MENTION_SCHEMA_OFFSETS if with_offsets else MENTION_SCHEMA
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:  # pragma: no cover
         for pdf in batches:
-            yield extract_mentions_batch(pdf)
+            yield extract_mentions_batch(pdf, with_offsets=with_offsets)
 
-    return turns.select(*cols).mapInPandas(run, schema=MENTION_SCHEMA)
+    return turns.select(*cols).mapInPandas(run, schema=schema)
 
 
-def extract_mentions_sql(turns: DataFrame) -> DataFrame:
+def extract_mentions_sql(turns: DataFrame, with_offsets: bool = False) -> DataFrame:
     """Pure-JVM extraction: regexp_extract_all for the phrase gazetteer,
     split for tokens, higher-order array ops for normalize/L1-filter/
     first-occurrence-dedup/cap — all per-row inside whole-stage codegen,
     zero shuffle, no Python workers. Emits mention = normalized label
     (the pandas form keeps the raw surface; nothing downstream reads it).
+
+    with_offsets=True additionally carries each kept mention's 1-based
+    char offset in the lowered truncated text (see
+    _extract_mentions_sql_offsets). The default path is byte-identical
+    to the offset-free round-5 plan: ER never consumes offsets, and
+    carrying a dead column through the mention shuffle at 10^12 turns is
+    pure cost — triple construction opts in.
     """
+    if with_offsets:
+        return _extract_mentions_sql_offsets(turns)
     from pyspark.sql import functions as F
 
     from session_graph_spark.functions.filters import is_valid_entity_col
@@ -200,14 +262,148 @@ def extract_mentions_sql(turns: DataFrame) -> DataFrame:
     )
 
 
-def extract_mentions(turns: DataFrame, engine: str = "sql") -> DataFrame:
+def _extract_mentions_sql_offsets(turns: DataFrame) -> DataFrame:
+    """The pure-JVM extraction, additionally carrying each kept mention's
+    1-based char offset (`off`) in the lowered truncated turn text —
+    consumed by triples.build_triples so per-pair cue predicates are
+    chosen by TRUE mention span (reference picks a predicate per triple,
+    triple_extraction.py:348-374) instead of re-locating normalized
+    labels downstream, which cannot find an alias-normalized surface
+    (k8s -> kubernetes) and mislocates a label embedded in another word
+    ('java' inside 'javascript').
+
+    Offset recovery, all JVM higher-order expressions (no UDF):
+    - phrase hits: a sequential locate() fold mirrors the regex's
+      left-to-right non-overlapping walk (the cue-fold technique,
+      triples.py). Best-effort corner: locate() is not lookaround-aware,
+      so a phrase whose text also occurs earlier EMBEDDED in a word
+      (matched by locate, skipped by the regex) shifts that phrase's
+      offset; the blast radius is one pair's cue choice.
+    - residual tokens: located in the phrase-blanked residual — exact,
+      because inter-token gaps there are pure whitespace — then mapped
+      back to original coordinates by adding the cumulative collapse
+      shift of every phrase replaced before them (a phrase of length L
+      became one space: positions after it shift by L-1).
+
+    The pandas form (_row_offsets) replays the same folds for
+    bit-equality; the equivalence test pins it.
+    """
+    from pyspark.sql import functions as F
+
+    from session_graph_spark.functions.filters import is_valid_entity_col
+
+    java_phrase_re = _PHRASE_RE.pattern
+    lower_text = F.lower(F.substring("text", 1, EXTRACT_INPUT_MAX_CHARS))
+
+    t = turns.select(
+        "conv_id", "turn_idx", "platform", "ts",
+        lower_text.alias("__lt"),
+        F.regexp_extract_all(lower_text, F.lit(java_phrase_re), 1).alias("ph"),
+        F.regexp_replace(lower_text, java_phrase_re, " ").alias("resid"),
+    ).withColumn(
+        # 1-based offset of each phrase hit in __lt (sequential locate
+        # fold — same walk as the extraction regex)
+        "ph_offs",
+        F.expr(
+            "aggregate(ph,"
+            " named_struct('frm', 1, 'offs', cast(array() as array<int>)),"
+            " (acc, c) -> named_struct("
+            "   'frm', locate(c, __lt, acc.frm) + length(c),"
+            "   'offs', array_append(acc.offs, locate(c, __lt, acc.frm))),"
+            " acc -> acc.offs)"
+        ),
+    ).withColumn(
+        # resid -> original coordinate map: entry k = (phrase k's resid
+        # offset, cumulative original-minus-resid shift for positions
+        # after it); roff is strictly increasing by construction
+        "ph_map",
+        F.expr(
+            "aggregate(arrays_zip(ph, ph_offs),"
+            " named_struct('d', 0, 'arr',"
+            "   cast(array() as array<struct<roff:int, shift:int>>)),"
+            " (acc, x) -> named_struct("
+            "   'd', acc.d + length(x.ph) - 1,"
+            "   'arr', array_append(acc.arr, named_struct("
+            "     'roff', x.ph_offs - acc.d,"
+            "     'shift', acc.d + length(x.ph) - 1))),"
+            " acc -> acc.arr)"
+        ),
+    ).withColumn(
+        "toks", F.filter(F.split("resid", r"\s+"), lambda x: x != "")
+    ).withColumn(
+        # token offsets in resid: exact (gaps between consecutive \\S+
+        # runs are pure whitespace, so the forward locate can never land
+        # early)
+        "tok_roffs",
+        F.expr(
+            "aggregate(toks,"
+            " named_struct('frm', 1, 'offs', cast(array() as array<int>)),"
+            " (acc, c) -> named_struct("
+            "   'frm', locate(c, resid, acc.frm) + length(c),"
+            "   'offs', array_append(acc.offs, locate(c, resid, acc.frm))),"
+            " acc -> acc.offs)"
+        ),
+    ).withColumn(
+        # candidates = phrase structs ++ token structs, token offsets
+        # mapped to original coordinates via the last ph_map entry
+        # strictly before them (try_element_at: empty filter -> null -> 0)
+        "cands",
+        F.expr(
+            "concat("
+            " transform(arrays_zip(ph, ph_offs),"
+            "   x -> named_struct('m', x.ph, 'off', x.ph_offs)),"
+            " transform(arrays_zip(toks, tok_roffs),"
+            "   x -> named_struct('m', x.toks,"
+            "     'off', x.tok_roffs + coalesce("
+            "       try_element_at(filter(ph_map, e -> e.roff < x.tok_roffs),"
+            "                      -1).shift, 0))))"
+        ),
+    )
+    n_ph = F.size("ph")
+
+    def norm(x):
+        y = F.regexp_replace(F.trim(x), r"\s+", " ")
+        return F.regexp_replace(y, r"[.,;:]+$", "")
+
+    normed = F.transform(
+        "cands",
+        lambda x: F.struct(norm(x["m"]).alias("label"), x["off"].alias("off")),
+    )
+    kept = F.filter(normed, lambda x, i: (i < n_ph) | is_valid_entity_col(x["label"]))
+    t = t.withColumn("kept", kept).withColumn(
+        "klabels", F.expr("transform(kept, x -> x.label)")
+    )
+    # first-occurrence dedup on the label field (array_distinct would
+    # treat same-label/different-offset structs as distinct), then cap
+    deduped = F.expr(
+        "slice(filter(kept, (x, i) -> array_position(klabels, x.label) == i + 1),"
+        f" 1, {MAX_MENTIONS_PER_TURN})"
+    )
+    out = t.select(
+        "conv_id", "turn_idx", "platform", "ts",
+        F.posexplode(deduped).alias("pos", "m"),
+    )
+    return out.select(
+        "conv_id", "turn_idx", "platform", "ts",
+        F.col("m.label").alias("mention"),
+        F.col("m.label").alias("norm_label"),
+        F.concat_ws("|", "conv_id", "turn_idx", "pos").alias("mention_id"),
+        F.col("pos").cast("int").alias("pos"),
+        F.col("m.off").cast("int").alias("off"),
+    )
+
+
+def extract_mentions(turns: DataFrame, engine: str = "sql",
+                     with_offsets: bool = False) -> DataFrame:
     """turns (post P3/P4/P9 filters) -> mentions DataFrame.
 
     Input must have columns conv_id, turn_idx, platform, ts, text.
     engine='sql' (default): whole-stage-codegen column expressions.
     engine='pandas': the Arrow-batched UDF form (same output modulo the
     raw `mention` surface column; equivalence-tested).
+    with_offsets=True adds the `off` char-offset column (triple path;
+    see extract_mentions_sql).
     """
     if engine == "pandas":
-        return extract_mentions_pandas(turns)
-    return extract_mentions_sql(turns)
+        return extract_mentions_pandas(turns, with_offsets=with_offsets)
+    return extract_mentions_sql(turns, with_offsets=with_offsets)

@@ -189,17 +189,8 @@ def encode_y4m(frames: np.ndarray, fps: tuple[int, int] = (25, 1),
     return bytes(out)
 
 
-def decode_video(data: bytes) -> dict:
-    """Real video decode: YUV4MPEG2 (y4m) natively — a plain-text header
-    (W/H/F/C parameters) followed by FRAME-marked raw planar YUV, so it
-    parses with struct/numpy alone, exactly like the BMP/WAV codecs.
-    Returns {width, height, n_frames, fps_num, fps_den, duration_ms,
-    frames} where frames is the (n, h, w) uint8 luma stack. Other
-    containers (MP4/WebM...) raise NotImplementedError (ffmpeg
-    territory). Truncated streams raise (malformed media is data, not a
-    bug — callers null the decode columns). A 100 TB deployment would
-    iterate frame offsets lazily instead of materializing the stack; the
-    per-asset frame count here is test-scale."""
+def _parse_y4m_header(data: bytes) -> tuple[int, int, int, int, int, int]:
+    """-> (width, height, fps_num, fps_den, chroma_bytes, body_start)."""
     if not data.startswith(b"YUV4MPEG2"):
         raise NotImplementedError(
             "unrecognized video container (native decoder: YUV4MPEG2/y4m)")
@@ -227,24 +218,63 @@ def decode_video(data: bytes) -> dict:
         chroma = 0
     else:
         raise NotImplementedError(f"y4m colorspace {cs}")
+    return w, h, fn, fd, chroma, nl + 1
+
+
+def probe_video(data: bytes) -> dict:
+    """Header metadata + per-frame LUMA BYTE OFFSETS, no pixel
+    materialization: O(n_frames) ints regardless of stream length. The
+    marker walk validates every FRAME header and the full chroma extent
+    of each frame (a partial trailing frame — even one truncated inside
+    the chroma planes — is malformed data and must not decode as
+    garbage). Pair with decode_video_frame to read only the frames a
+    sampler asks for: extract_features' per-asset memory is then
+    O(frames_per_video x frame) however long the stream is (round 5
+    materialized the full (n, h, w) stack first — an executor OOM on the
+    first long video at scale). Non-y4m containers raise
+    NotImplementedError (ffmpeg territory; malformed media is data, not
+    a bug — callers null the decode columns)."""
+    w, h, fn, fd, chroma, pos = _parse_y4m_header(data)
     frame_bytes = w * h + chroma
-    frames, pos = [], nl + 1
+    offsets: list[int] = []
     while pos < len(data):
         fnl = data.index(b"\n", pos)
         if data[pos:pos + 5] != b"FRAME":
             raise NotImplementedError("y4m stream desync (no FRAME marker)")
-        # a partial trailing frame (even one truncated inside the chroma
-        # planes) is malformed data and must not decode as garbage
         if fnl + 1 + frame_bytes > len(data):
             raise ValueError("y4m truncated frame")
-        y = np.frombuffer(data, np.uint8, count=w * h, offset=fnl + 1)
-        frames.append(y.reshape(h, w))
+        offsets.append(fnl + 1)
         pos = fnl + 1 + frame_bytes
-    n = len(frames)
+    n = len(offsets)
     return {"width": w, "height": h, "n_frames": n, "fps_num": fn,
             "fps_den": fd, "duration_ms": n * 1000 * fd // fn,
-            "frames": np.stack(frames) if n else
-            np.empty((0, h, w), np.uint8)}
+            "frame_offsets": offsets}
+
+
+def decode_video_frame(data: bytes, probe: dict, idx: int) -> np.ndarray:
+    """Decode ONE luma frame (h, w) by direct offset seek — frombuffer is
+    a zero-copy view over the asset bytes; only this frame's pixels are
+    ever touched."""
+    w, h = probe["width"], probe["height"]
+    y = np.frombuffer(data, np.uint8, count=w * h,
+                      offset=probe["frame_offsets"][idx])
+    return y.reshape(h, w)
+
+
+def decode_video(data: bytes) -> dict:
+    """Full video decode: probe_video + every frame, returning {width,
+    height, n_frames, fps_num, fps_den, duration_ms, frames} with frames
+    the (n, h, w) uint8 luma stack. Kept for callers that genuinely want
+    all frames (tests, short clips); the feature extractor uses
+    probe_video + decode_video_frame instead and never materializes the
+    stack."""
+    p = probe_video(data)
+    n, h, w = p["n_frames"], p["height"], p["width"]
+    frames = ([decode_video_frame(data, p, i) for i in range(n)]
+              if n else None)
+    return {"width": w, "height": h, "n_frames": n, "fps_num": p["fps_num"],
+            "fps_den": p["fps_den"], "duration_ms": p["duration_ms"],
+            "frames": np.stack(frames) if n else np.empty((0, h, w), np.uint8)}
 
 
 def _fake_decode(data: bytes, dim: int = 8) -> np.ndarray:
@@ -293,7 +323,9 @@ def extract_features(assets: DataFrame, frames_per_video: int = 3) -> DataFrame:
                                    sample_rate=d["sample_rate"],
                                    duration_ms=d["duration_ms"], rms=d["rms"])
                     elif r.kind == "video":
-                        vid = decode_video(data)
+                        # metadata + frame offsets only; sampled frames
+                        # are seek-decoded below — never the full stack
+                        vid = probe_video(data)
                 except Exception:  # noqa: BLE001
                     # unknown OR MALFORMED media is data, not a bug: a
                     # truncated BMP raises struct.error, a corrupt PPM
@@ -307,9 +339,12 @@ def extract_features(assets: DataFrame, frames_per_video: int = 3) -> DataFrame:
                     if vid is not None and vid["n_frames"] > 0:
                         # evenly-spaced frame sample (floor stride): the
                         # fan-out stays a constant frames_per_video rows
-                        # per asset regardless of stream length
+                        # per asset regardless of stream length, and the
+                        # seek decode touches ONLY the sampled frames'
+                        # bytes (probe_video offsets) — per-asset memory
+                        # is O(frames_per_video x frame), not O(stream)
                         src = fi * vid["n_frames"] // n_frames
-                        y = vid["frames"][src]
+                        y = decode_video_frame(data, vid, src)
                         row_dec = dict(
                             dec, width=vid["width"], height=vid["height"],
                             mean_pixel=float(y.astype(np.float64).mean()),

@@ -42,36 +42,51 @@ _CUE_RE = "(" + "|".join(sorted(CUE_PREDICATES, key=len, reverse=True)) + ")"
 
 
 def build_triples(mentions: DataFrame, turns: DataFrame) -> dict[str, DataFrame]:
-    """mentions (conv_id, turn_idx, canon_label, pos, ts) + turns (for the
-    text cue scan) -> {'edges', 'reified'} DataFrames.
+    """mentions (conv_id, turn_idx, canon_label, pos, ts[, off]) + turns
+    (for the text cue scan) -> {'edges', 'reified'} DataFrames.
 
     The predicate is chosen PER PAIR by char offset (the reference picks
     a predicate per triple, triple_extraction.py:265-333, normalized at
     :348-374): ALL cue matches in the turn are extracted in order
-    (regexp_extract_all), their char offsets recovered with a sequential
-    locate fold (same left-to-right, non-overlapping walk as the regex),
-    and each mention's offset is its first occurrence in the lowered
-    text. A pair takes the cue whose offset lies BETWEEN the subject and
-    object offsets; if none, the nearest cue to the LEFT of the pair;
-    else relatedTo — so 'A and B; C uses D' emits relatedTo(A,B) and
-    uses(C,D), where index alignment applied 'uses' to both. When a
-    mention's offset is unrecoverable (canonical label differs from the
-    surface form, e.g. an alias like k8s->kubernetes), the pair falls
-    back to order-based alignment (pair i takes cue min(i, last)).
-    Everything is JVM-side codegen: locate folds via higher-order
-    aggregate, no UDF, no extra shuffle. Turns with no cue fall back to
-    relatedTo."""
-    m = mentions.select("conv_id", "turn_idx", "canon_label", "pos", "ts")
+    (regexp_extract_all) and their char offsets recovered with a
+    sequential locate fold (same left-to-right, non-overlapping walk as
+    the regex). A pair takes the cue whose offset lies BETWEEN the
+    subject and object offsets; if none, the nearest cue to the LEFT of
+    the pair; else relatedTo — so 'A and B; C uses D' emits
+    relatedTo(A,B) and uses(C,D), where index alignment applied 'uses'
+    to both.
+
+    Mention offsets: when the mentions frame carries the extractor's
+    `off` column (extract_mentions(..., with_offsets=True) — the
+    standard triple path), the TRUE match offsets are used directly —
+    this covers alias-normalized mentions (k8s -> kubernetes) whose
+    canonical label never occurs in the text, and labels embedded in
+    longer words ('java' inside 'javascript'), with no re-scan of the
+    text. Without `off` (offset-less callers), offsets are recovered by
+    locate() on the canonical label, guarded by token-boundary checks on
+    BOTH ends of both occurrences — an occurrence embedded in another
+    word is not usable evidence — and any unrecoverable/unusable offset
+    drops the pair to order-based alignment (pair i takes cue
+    min(i, last)). Everything is JVM-side codegen: locate folds via
+    higher-order aggregate, no UDF, no extra shuffle. Turns with no cue
+    fall back to relatedTo."""
+    has_off = "off" in mentions.columns
+    off_cols = ["off"] if has_off else []
+    m = mentions.select("conv_id", "turn_idx", "canon_label", "pos", "ts",
+                        *off_cols)
     nxt = m.select(
         "conv_id", "turn_idx",
         (F.col("pos") - 1).alias("pos"),
         F.col("canon_label").alias("obj"),
+        *([F.col("off").alias("__obj_off")] if has_off else []),
     )
     pairs = (
         m.join(nxt, ["conv_id", "turn_idx", "pos"])
         .where(F.col("canon_label") != F.col("obj"))
         .select("conv_id", "turn_idx", "ts", "pos",
-                F.col("canon_label").alias("subject"), F.col("obj").alias("object"))
+                F.col("canon_label").alias("subject"), F.col("obj").alias("object"),
+                *([F.col("off").alias("__s_off"), F.col("__obj_off").alias("__o_off")]
+                  if has_off else []))
     )
     cues = turns.select(
         "conv_id", "turn_idx",
@@ -97,17 +112,60 @@ def build_triples(mentions: DataFrame, turns: DataFrame) -> dict[str, DataFrame]
         *[F.lit(x) for kv in CUE_PREDICATES.items() for x in kv]
     )
     n_cues = F.size("cue_list")
-    s_off = F.expr("locate(subject, __lt)")
-    # the object is the NEXT mention in occurrence order, so its relevant
-    # occurrence is the first one AFTER the subject's — plain first-
-    # occurrence would point a repeated label ('gamma needs alpha' where
-    # alpha opened the turn) or a prefix-substring ('java' inside
-    # 'javascript') at the wrong span and steal/lose the cue. Fall back
-    # to the global first occurrence when the object only appears before
-    # the subject
-    o_after = F.expr("locate(object, __lt, locate(subject, __lt) + 1)")
-    o_off = F.when(o_after > 0, o_after).otherwise(F.expr("locate(object, __lt)"))
-    lo, hi = F.least(s_off, o_off), F.greatest(s_off, o_off)
+    joined = pairs.join(cues, ["conv_id", "turn_idx"], "left")
+    if has_off:
+        # extractor-carried TRUE match offsets (1-based in the lowered
+        # truncated text — the same coordinates the cue fold uses for the
+        # first EXTRACT_INPUT_MAX_CHARS chars; a cue past the truncation
+        # point correctly reads as "after every mention"). Two distinct
+        # labels can never share an offset, but the != guard stays as a
+        # cheap invariant check; null/0 never occurs by construction.
+        usable = (
+            (F.col("__s_off") > 0) & (F.col("__o_off") > 0)
+            & (F.col("__s_off") != F.col("__o_off"))
+        )
+    else:
+        joined = joined.withColumn("__s_off", F.expr("locate(subject, __lt)"))
+        # the object is the NEXT mention in occurrence order, so its
+        # relevant occurrence is the first one AFTER the subject's —
+        # plain first-occurrence would point a repeated label ('gamma
+        # needs alpha' where alpha opened the turn) at the wrong span and
+        # steal/lose the cue. Fall back to the global first occurrence
+        # when the object only appears before the subject
+        o_after = F.expr("locate(object, __lt, __s_off + 1)")
+        joined = joined.withColumn(
+            "__o_off",
+            F.when(o_after > 0, o_after).otherwise(F.expr("locate(object, __lt)")),
+        )
+
+        # token-boundary guard (ADVICE r5): a located occurrence EMBEDDED
+        # in a longer word ('java' starting inside 'javascript') anchors
+        # the pair span at the wrong position and can steal a cue from a
+        # neighboring pair — such an occurrence is not usable offset
+        # evidence. Boundary classes mirror the extraction regex
+        # ((?<![\w.]) before, (?!\w) after, lowercased text). substring()
+        # clamps pos 0 to 1, so the before-check gates on off > 1 or a
+        # first-char occurrence would read its own first char.
+        def _embedded(off: str, label: str):
+            before_bad = (F.col(off) > 1) & F.expr(
+                f"substring(__lt, {off} - 1, 1)"
+            ).rlike("[a-z0-9_.]")
+            after_bad = F.expr(
+                f"substring(__lt, {off} + length({label}), 1)"
+            ).rlike("[a-z0-9_]")
+            return before_bad | after_bad
+
+        usable = (
+            (F.col("__s_off") > 0) & (F.col("__o_off") > 0)
+            # identical offsets mean the two labels' occurrences could
+            # not be separated (e.g. one is a leading substring of the
+            # other and appears nowhere else) — unusable evidence
+            & (F.col("__s_off") != F.col("__o_off"))
+            & ~_embedded("__s_off", "subject")
+            & ~_embedded("__o_off", "object")
+        )
+    lo = F.least("__s_off", "__o_off")
+    hi = F.greatest("__s_off", "__o_off")
     z = F.arrays_zip("cue_list", "cue_offs")
     between = F.filter(z, lambda x: (x["cue_offs"] > lo) & (x["cue_offs"] < hi))
     leftof = F.filter(z, lambda x: x["cue_offs"] <= lo)
@@ -123,20 +181,13 @@ def build_triples(mentions: DataFrame, turns: DataFrame) -> dict[str, DataFrame]
             F.least(F.col("pos") + 1, n_cues).cast("int"),
         ),
     )
-    # identical offsets mean the two labels' occurrences could not be
-    # separated (e.g. one is a leading substring of the other and appears
-    # nowhere else) — offset evidence is unusable, keep the order-based
-    # alignment rather than silently dropping the cue
-    pair_cue = F.when(
-        (s_off > 0) & (o_off > 0) & (s_off != o_off), offset_cue
-    ).otherwise(order_cue)
+    pair_cue = F.when(usable, offset_cue).otherwise(order_cue)
     with_pred = (
-        pairs.join(cues, ["conv_id", "turn_idx"], "left")
-        .withColumn(
+        joined.withColumn(
             "predicate",
             F.coalesce(cue_map[pair_cue], F.lit("relatedTo")),
         )
-        .drop("cue_list", "cue_offs", "__lt", "pos")
+        .drop("cue_list", "cue_offs", "__lt", "pos", "__s_off", "__o_off")
     )
     reified = with_pred.withColumn(
         "triple_id",

@@ -81,8 +81,13 @@ def prepare_turns(turns: DataFrame) -> DataFrame:
     return t
 
 
-def mentions_from_turns(turns: DataFrame, dedup_turns: bool = False) -> DataFrame:
+def mentions_from_turns(turns: DataFrame, dedup_turns: bool = False,
+                        with_offsets: bool = False) -> DataFrame:
     """M1: extraction input filters + deterministic extraction.
+
+    with_offsets=True carries each mention's char offset (triple
+    construction path; the ER pipeline itself never reads offsets and
+    keeps the narrower mention shuffle).
 
     dedup_turns=True adds a defensive dropDuplicates on (conv_id,
     turn_idx) for at-least-once sources. It is OFF by default: turn
@@ -101,7 +106,7 @@ def mentions_from_turns(turns: DataFrame, dedup_turns: bool = False) -> DataFram
     base = base.select("conv_id", "turn_idx", "platform", "ts", "text")
     if dedup_turns:
         base = base.dropDuplicates(["conv_id", "turn_idx"])
-    return extract_mentions(base)
+    return extract_mentions(base, with_offsets=with_offsets)
 
 
 def normalized_labels(

@@ -114,17 +114,55 @@ class IncrementalRunner:
             # instead of silently treating committed state as empty —
             # which would reprocess every conversation and orphan the
             # old rows forever
-            legacy = sorted(Path(path).glob("part=*")) if Path(path).exists() else []
-            if not legacy:
+            root = Path(path)
+            legacy = sorted(root.glob("part=*")) if root.exists() else []
+            gen_dir = root / "gen=0"
+            # IDEMPOTENT RESTART of a crashed earlier migration: the
+            # rename loop below moves partitions one by one, so a crash
+            # mid-loop leaves some dirs already inside gen=0 with no
+            # manifest. Those hold COMMITTED rows — they must be unioned
+            # into this migration's manifest, or the committed manifest
+            # would omit them and the next merge's pre-write GC would
+            # silently delete them (they sit at g=0, below the committed
+            # gen, so the crashed-write heuristic treats them as routine
+            # post-commit leftovers).
+            moved = sorted(gen_dir.glob("part=*")) if gen_dir.exists() else []
+            if not legacy and not moved:
                 return None
+            # the legacy layout never recorded n_parts; a store written
+            # under a LARGER n_parts is detectable (some index out of
+            # range) and must fail fast — migrating it would hash
+            # conv_ids to the wrong partitions on every later merge
+            # (exactly the stale-row corruption the manifest's n_parts
+            # pin exists to prevent). A smaller-n_parts store whose
+            # indices all happen to fit is undetectable by construction;
+            # that is why the manifest pins n_parts going forward.
+            bad = [d.name for d in legacy + moved
+                   if not 0 <= int(d.name.split("=", 1)[1]) < self.n_parts]
+            if bad:
+                raise ValueError(
+                    f"state table {path}: pre-manifest layout has "
+                    f"partition dirs {bad} outside n_parts="
+                    f"{self.n_parts}; it was written under a different "
+                    "n_parts. Reopen with the original n_parts (or "
+                    "rewrite the state dir).")
             warnings.warn(
                 f"state table {path}: migrating pre-manifest layout "
-                f"({len(legacy)} flat partition dirs) to the "
-                "generation-pointer format", stacklevel=2)
-            gen_dir = Path(path) / "gen=0"
+                f"({len(legacy)} flat partition dirs"
+                + (f" + {len(moved)} already moved by a crashed earlier "
+                   "migration" if moved else "")
+                + ") to the generation-pointer format", stacklevel=2)
             gen_dir.mkdir(exist_ok=True)
-            parts = {}
+            parts = {d.name.split("=", 1)[1]: 0 for d in moved}
             for d in legacy:
+                if (gen_dir / d.name).exists():
+                    # cannot arise from a crash (rename is atomic: a dir
+                    # is either flat or moved, never both) — refuse to
+                    # guess which copy is current
+                    raise RuntimeError(
+                        f"state table {path}: partition {d.name} exists "
+                        "both flat and under gen=0; ambiguous layout, "
+                        "manual repair required")
                 d.rename(gen_dir / d.name)
                 parts[d.name.split("=", 1)[1]] = 0
             man = {"version": 1, "n_parts": self.n_parts, "gen": 0,

@@ -78,6 +78,87 @@ def test_sql_extraction_equals_pandas(spark):
     )
 
 
+def test_extract_offsets_point_at_surface():
+    """with_offsets=True: every emitted offset must index the mention's
+    raw surface in the lowered truncated text (1-based), for phrase hits,
+    residual tokens after phrase collapse, and punctuation-normalized
+    tokens alike."""
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c1", "c2"],
+            "turn_idx": [1, 1],
+            "platform": ["claude-code"] * 2,
+            "ts": pd.to_datetime(["2026-01-01"] * 2),
+            "text": [
+                # phrase ('vs code', 'node.js') + tokens; trailing-punct
+                # normalization; token AFTER a phrase needs the collapse
+                # shift mapped back to original coordinates
+                "We debug vs code with postgres, then node.js runs redis.",
+                "kubernetes via k8s manifests; fast api wraps sqlalchemy",
+            ],
+        }
+    )
+    out = extract_mentions_batch(pdf, with_offsets=True)
+    assert len(out) > 5 and out["off"].notna().all()
+    texts = {("c1", 1): pdf["text"][0].lower(), ("c2", 1): pdf["text"][1].lower()}
+    for r in out.itertuples(index=False):
+        t = texts[(r.conv_id, r.turn_idx)]
+        surface = str(r.mention)
+        got = t[r.off - 1 : r.off - 1 + len(surface)]
+        assert got == surface, (r.norm_label, r.off, got, surface)
+
+
+def test_sql_offsets_equal_pandas(spark):
+    """The JVM locate-fold offsets must bit-match the pandas find-walk on
+    a corpus slice PLUS handcrafted rows exercising the tricky paths
+    (multiple phrase hits, tokens after phrases, repeated substrings,
+    trailing punctuation)."""
+    from session_graph_spark.operators.extract import (extract_mentions_pandas,
+                                                       extract_mentions_sql)
+
+    hard = spark.createDataFrame(
+        [
+            ("h1", 1, "p", None,
+             "vs code and node.js: vs code again, alphabeta alpha beta."),
+            ("h2", 1, "p", None,
+             "fast api wraps fast api; k8s talks to kubernetes via k8s."),
+            ("h3", 1, "p", None, "   leading space  postgres   redis "),
+            ("h4", 1, "p", None, "x" * 2000 + " postgres"),  # truncation
+        ],
+        "conv_id string, turn_idx int, platform string, ts timestamp, text string",
+    )
+    turns = corpus.generate_turns(spark, n_convs=15, seed=7)
+    base = turns.where(
+        (F.col("role") == "assistant") & (F.length(F.trim("text")) >= 30)
+    ).select("conv_id", "turn_idx", "platform", "ts", "text").unionByName(hard)
+    cols = ["conv_id", "turn_idx", "norm_label", "pos", "off"]
+    a = sorted(map(tuple, extract_mentions_sql(base, with_offsets=True)
+                   .select(*cols).collect()))
+    b = sorted(map(tuple, extract_mentions_pandas(base, with_offsets=True)
+                   .select(*cols).collect()))
+    assert len(a) > 300
+    only_sql = set(a) - set(b)
+    only_pd = set(b) - set(a)
+    assert not only_sql and not only_pd, (
+        f"sql-only: {sorted(only_sql)[:10]} pandas-only: {sorted(only_pd)[:10]}"
+    )
+
+
+def test_offset_and_default_paths_agree_on_mentions(spark):
+    """with_offsets must never change WHICH mentions are extracted — only
+    add the off column (the default ER path keeps the round-5 plan)."""
+    from session_graph_spark.operators.extract import extract_mentions_sql
+
+    turns = corpus.generate_turns(spark, n_convs=10, seed=11)
+    base = turns.where(F.col("role") == "assistant").select(
+        "conv_id", "turn_idx", "platform", "ts", "text")
+    cols = ["conv_id", "turn_idx", "norm_label", "pos"]
+    plain = sorted(map(tuple, extract_mentions_sql(base).select(*cols).collect()))
+    offs = sorted(map(tuple, extract_mentions_sql(base, with_offsets=True)
+                      .select(*cols).collect()))
+    assert plain == offs
+
+
 def test_extraction_spark_roundtrip_and_invariant(spark):
     turns = corpus.generate_turns(spark, n_convs=12)
     # per-row invariant: per-turn text equality under stable ordering after

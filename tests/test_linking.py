@@ -303,6 +303,22 @@ def test_external_kb_dimension(spark, tmp_path):
         kb_df(spark, path=badtype)
 
 
+def test_kbgen_vocab_validation_is_loud():
+    """The 0.5-rung keyword-leak invariant is a ValueError (survives
+    python -O, unlike the round-5 assert) and is checked once at import
+    over the vocabularies instead of per generated row."""
+    from session_graph_spark import kbgen
+
+    kbgen._validate_nontech_vocab()  # current vocabularies are clean
+    orig = kbgen._NONTECH_NOUN
+    kbgen._NONTECH_NOUN = [*orig, "databasefolk"]  # planted leak
+    try:
+        with pytest.raises(ValueError, match="tech keywords"):
+            kbgen._validate_nontech_vocab()
+    finally:
+        kbgen._NONTECH_NOUN = orig
+
+
 def test_generated_gazetteer_dimension(spark, tmp_path):
     """The realistic 30k-entry generated gazetteer (kbgen): structural
     invariants, every linker rung reachable, multi-sense collisions at

@@ -662,6 +662,102 @@ def test_state_store_legacy_layout_migrates(spark, tmp_path):
     assert after["conv-0"] == "lx" and len(after) == 6
 
 
+def _write_legacy_layout(spark, path: str, n_rows: int = 6, n_parts: int = 4):
+    from pyspark.sql import functions as _F
+
+    df = spark.createDataFrame(
+        [(f"conv-{i}", f"l{i}", f"c{i}") for i in range(n_rows)],
+        "conv_id string, canon_label string, cluster_id string")
+    df.withColumn("part", _F.pmod(_F.xxhash64("conv_id"), _F.lit(n_parts))) \
+        .write.partitionBy("part").parquet(path)
+    return df
+
+
+def test_state_store_legacy_migration_crash_mid_loop_resumes(spark, tmp_path):
+    """Kill-mid-migration: the migration renames flat part=P dirs into
+    gen=0 one by one before committing the manifest. A crash mid-loop
+    leaves SOME partitions already inside gen=0 with no manifest; the
+    restarted migration must union those into its manifest — the round-5
+    code saw only the still-flat dirs, so the committed manifest omitted
+    the moved partitions and the next merge's pre-write GC silently
+    deleted committed rows."""
+    import warnings as _warnings
+
+    from session_graph_spark.streaming.incremental import IncrementalRunner
+
+    path = str(tmp_path / "state" / "clusters")
+    df = _write_legacy_layout(spark, path)
+    all_rows = sorted(map(tuple, df.collect()))
+
+    # simulate the crash: move half the flat dirs into gen=0 exactly as
+    # the migration loop would, then "die" before the manifest commit
+    flat = sorted((tmp_path / "state" / "clusters").glob("part=*"))
+    assert len(flat) >= 2, "fixture needs >= 2 partitions"
+    gen0 = tmp_path / "state" / "clusters" / "gen=0"
+    gen0.mkdir()
+    for d in flat[: len(flat) // 2]:
+        d.rename(gen0 / d.name)
+    assert not (tmp_path / "state" / "clusters" / "_MANIFEST.json").exists()
+
+    with _warnings.catch_warnings(record=True):
+        _warnings.simplefilter("always")
+        runner = IncrementalRunner(spark, str(tmp_path / "state"), n_parts=4)
+        got = sorted(map(tuple, runner.clusters().collect()))
+    assert got == all_rows, "crashed migration lost committed rows on reopen"
+
+    # the next merge (whose pre-write GC pass is where round 5 lost the
+    # moved partitions) must still see every committed row afterwards
+    upd = spark.createDataFrame(
+        [("conv-0", "lx", "cx")],
+        "conv_id string, canon_label string, cluster_id string")
+    runner._merge_overwrite(path, upd, upd.select("conv_id"))
+    after = {r["conv_id"]: r["canon_label"] for r in runner.clusters().collect()}
+    assert len(after) == 6, "post-migration merge GC'd committed partitions"
+    assert after["conv-0"] == "lx"
+    assert after["conv-5"] == "l5"
+
+
+def test_state_store_legacy_migration_crash_after_all_renames(spark, tmp_path):
+    """Crash AFTER every rename but BEFORE the manifest commit: no flat
+    part=P dirs remain, so the round-5 migration glob saw nothing and
+    returned None — committed state read as empty. The restart must
+    recover the gen=0 dirs."""
+    import warnings as _warnings
+
+    from session_graph_spark.streaming.incremental import IncrementalRunner
+
+    path = str(tmp_path / "state" / "clusters")
+    df = _write_legacy_layout(spark, path)
+    gen0 = tmp_path / "state" / "clusters" / "gen=0"
+    gen0.mkdir()
+    for d in sorted((tmp_path / "state" / "clusters").glob("part=*")):
+        d.rename(gen0 / d.name)
+
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        runner = IncrementalRunner(spark, str(tmp_path / "state"), n_parts=4)
+        got = sorted(map(tuple, runner.clusters().collect()))
+    assert any("migrating pre-manifest layout" in str(w.message) for w in caught)
+    assert got == sorted(map(tuple, df.collect()))
+
+
+def test_state_store_legacy_layout_rejects_wrong_n_parts(spark, tmp_path):
+    """A pre-manifest store written under a LARGER n_parts (some flat
+    part index out of range) must fail fast instead of migrating —
+    later merges would hash conv_ids to the wrong partitions and leave
+    stale rows behind."""
+    from session_graph_spark.streaming.incremental import IncrementalRunner
+
+    path = str(tmp_path / "state" / "clusters")
+    _write_legacy_layout(spark, path, n_parts=4)
+    # a partition index only an n_parts > 4 store could produce
+    (tmp_path / "state" / "clusters" / "part=7").mkdir()
+
+    # the constructor's fail-fast manifest pass hits the migration check
+    with pytest.raises(ValueError, match="outside n_parts"):
+        IncrementalRunner(spark, str(tmp_path / "state"), n_parts=4)
+
+
 def test_state_store_detects_concurrent_writer(spark, tmp_path):
     """Single-writer contract: if another writer commits between a
     merge's base-manifest read and its commit, the commit refuses

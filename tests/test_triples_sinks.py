@@ -157,6 +157,69 @@ def test_cue_offset_alias_fallback(spark):
     assert got == {("kubernetes", "docker"): "uses"}
 
 
+def test_extractor_carried_offsets_fix_alias_cue(spark):
+    """Round-6: when mentions carry the extractor's true char offsets,
+    an alias-normalized mention (k8s -> kubernetes, canonical absent
+    from the text) gets the offset-correct predicate instead of the
+    order-based fallback. Text 'alpha beta k8s uses redis': the late
+    cue belongs ONLY to (kubernetes, redis); order alignment would
+    stamp 'uses' on (beta, kubernetes) too [pair 1 takes cue
+    min(2, 1) = 'uses']."""
+    turns = _turn_row(spark, "c1", "alpha beta k8s uses redis")
+    mentions = spark.createDataFrame(
+        # off = 1-based offsets of alpha/beta/k8s/redis in the text;
+        # kubernetes carries the SURFACE k8s's offset (12), exactly what
+        # extract_mentions(with_offsets=True) + apply_aliases produce
+        [("c1", 0, "alpha", 0, None, 1), ("c1", 0, "beta", 1, None, 7),
+         ("c1", 0, "kubernetes", 2, None, 12), ("c1", 0, "redis", 3, None, 21)],
+        "conv_id string, turn_idx int, canon_label string, pos int, "
+        "ts timestamp, off int",
+    )
+    got = {(r["subject"], r["object"]): r["predicate"]
+           for r in build_triples(mentions, turns)["edges"].collect()}
+    assert got[("kubernetes", "redis")] == "uses"
+    assert got[("alpha", "beta")] == "relatedTo"
+    # the alias pair that the order fallback used to mis-stamp
+    assert got[("beta", "kubernetes")] == "relatedTo"
+
+
+def test_offsets_flow_from_real_extraction_to_triples(spark):
+    """End-to-end: extract_mentions(with_offsets=True) -> apply_aliases ->
+    build_triples uses carried offsets (no locate fallback). '--uses' is
+    L1-rejected as a mention but still matches the cue regex, so the cue
+    sits strictly between the aliased subject and its object."""
+    raw = spark.createDataFrame(
+        [("c1", 0, "claude-code", None, "alpha beta and k8s --uses redis")],
+        "conv_id string, turn_idx int, platform string, ts timestamp, text string",
+    )
+    from session_graph_spark.operators.extract import extract_mentions
+
+    mentions = apply_aliases(extract_mentions(raw, with_offsets=True),
+                             alias_df(spark), "norm_label", "canon_label")
+    assert "off" in mentions.columns
+    by_label = {r["canon_label"]: r for r in mentions.collect()}
+    assert "kubernetes" in by_label, "alias k8s -> kubernetes must apply"
+    assert by_label["kubernetes"]["off"] == 16  # points at the k8s surface
+    got = {(r["subject"], r["object"]): r["predicate"]
+           for r in build_triples(mentions, raw)["edges"].collect()}
+    assert got[("kubernetes", "redis")] == "uses"
+    assert got[("alpha", "beta")] == "relatedTo"
+
+
+def test_locate_fallback_boundary_guard(spark):
+    """ADVICE r5: offset-less mentions whose label first-locates INSIDE
+    another word ('java' inside 'javascript') must not use that embedded
+    occurrence as span evidence — (java, react) would steal 'requires'
+    from the (javascript, node) pair; the boundary guard drops it to
+    order alignment, which picks 'uses'."""
+    turns = _turn_row(spark, "c1", "javascript requires node. java uses react")
+    mentions = _mention_rows(spark, "c1", ["javascript", "node", "java", "react"])
+    got = {(r["subject"], r["object"]): r["predicate"]
+           for r in build_triples(mentions, turns)["edges"].collect()}
+    assert got[("javascript", "node")] == "requires"
+    assert got[("java", "react")] == "uses"
+
+
 def test_hub_by_triple_degree(spark, ctx):
     turns, mentions = ctx
     edges = build_triples(mentions, turns)["edges"]
