@@ -4,9 +4,15 @@ The full protocol lives in BASELINE.md ("Round-6 PRE-REGISTERED scaling
 protocol") and was committed BEFORE any round-6 scaling measurement. In
 brief:
 
-- corpus: bench corpus recipe at sf0.3 (540,000 convs, seed 42, 64
-  partitions — bench.py's exact cache key), pre-generated outside the
-  timed reps;
+- corpus: bench corpus recipe at sf0.1 (180,000 convs / 2.52M turns,
+  seed 42, 64 partitions — bench.py's exact cache key), pre-generated
+  outside the timed reps. AMENDED from the original sf0.3 before any
+  sf0.1 pool was collected: the first sf0.3 pair measured the 1-core arm
+  at 18.7k turns/s, putting ideal 4-core (74.8k) above the VM's ~55k
+  memory-bandwidth ceiling — the pair violated the protocol's own
+  "both sides below the ceiling" precondition and cannot read above
+  ~0.74 even for a perfect plan (see BASELINE.md amendment; sf0.3 reps
+  retained in scripts/gate_r6_pools_sf03.jsonl);
 - arms: local[1] vs local[4], >= 10 reps per arm, STRICTLY INTERLEAVED
   (1,4,1,4,...), each rep one fresh cold-JVM bench.py subprocess with
   SPARK_GRAFT_ER_REPS=1 SPARK_GRAFT_HEADLINE_ONLY=1;
@@ -99,7 +105,7 @@ def analyze(pool_path: str, n: int) -> dict:
 
 def main() -> None:
     reps = int(os.environ.get("GATE_REPS", "10"))
-    sf = float(os.environ.get("GATE_SF", "0.3"))
+    sf = float(os.environ.get("GATE_SF", "0.1"))
     n = int(os.environ.get("GATE_N", "1"))
     pool_path = os.environ.get(
         "GATE_POOL", os.path.join(REPO, "scripts", "gate_r6_pools.jsonl"))
