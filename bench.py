@@ -63,6 +63,25 @@ def main() -> None:
 
     warm_udf_workers(spark, spark.read.parquet(turns_path), cpus)
 
+    # FULL-PLAN warmup outside the timed region (round 6): run the whole
+    # pipeline once on a 300-conversation corpus so every stage's
+    # whole-stage-codegen compilation, JIT, Arrow serializer and AQE path
+    # is hot before the first timed rep. Rationale (same as the existing
+    # worker warmup: "a real cluster's executors arrive warm"): with
+    # SPARK_GRAFT_ER_REPS=1 each scaling rep is a fresh JVM whose first
+    # run pays first-run codegen INSIDE the timed window — a
+    # parallelism-FLAT cost (same seconds at local[1] and local[4]) that
+    # deflates every N-vs-4N ratio while measuring the JVM, not the
+    # plan. A 1000-executor job amortizes compilation over the job's
+    # lifetime. The warmup corpus is seed-distinct and tiny (~1% of
+    # sf0.1); its caches are cleared before timing.
+    t0 = time.time()
+    _wres = resolve(spark, corpus.generate_turns(spark, n_convs=300, seed=7))
+    _wres.mention_clusters.count()
+    _wres.unpersist()
+    spark.catalog.clearCache()
+    warmup_sec = round(time.time() - t0, 3)
+
     timings: dict[str, float] = {}
 
     def timed(name: str, fn, reps: int = 1) -> None:
@@ -118,7 +137,7 @@ def main() -> None:
             "unit": "sec", "queries": timings, "sf": sf, "cpus": cpus,
             "er_turns": n_turns,
             "er_turns_per_sec": round(n_turns / timings["er_pipeline"], 1),
-            "er_reps": er_reps,
+            "er_reps": er_reps, "warmup_sec": warmup_sec,
         }))
         spark.stop()
         return
@@ -286,6 +305,7 @@ def main() -> None:
         "er_turns": n_turns,
         "er_turns_per_sec": turns_per_sec,
         "er_reps": er_reps,
+        "warmup_sec": warmup_sec,
         **extras,
     }))
     spark.stop()

@@ -108,6 +108,41 @@ def test_extract_offsets_point_at_surface():
         assert got == surface, (r.norm_label, r.off, got, surface)
 
 
+def test_offsets_surface_property_random_texts():
+    """Property: for ANY text built from tokens, phrases, and punctuation,
+    every mention's offset indexes its raw surface in the lowered
+    truncated text (pure-pandas path; the SQL form is separately
+    bit-matched against it)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(alphabet="abkz.", min_size=1, max_size=6)
+    piece = st.one_of(word, st.sampled_from(
+        ["vs code", "node.js", "fast api", "k8s", "alpha,", "beta.", "  "]))
+    texts = st.lists(
+        st.lists(piece, min_size=1, max_size=25).map(" ".join),
+        min_size=1, max_size=8)
+
+    @settings(max_examples=60, deadline=None)
+    @given(texts)
+    def run(tt):
+        pdf = pd.DataFrame({
+            "conv_id": [f"c{i}" for i in range(len(tt))],
+            "turn_idx": [1] * len(tt),
+            "platform": ["p"] * len(tt),
+            "ts": pd.to_datetime(["2026-01-01"] * len(tt)),
+            "text": tt,
+        })
+        out = extract_mentions_batch(pdf, with_offsets=True)
+        low = {f"c{i}": t[:1500].lower() for i, t in enumerate(tt)}
+        for r in out.itertuples(index=False):
+            s = str(r.mention)
+            got = low[r.conv_id][r.off - 1 : r.off - 1 + len(s)]
+            assert got == s, (r.conv_id, s, r.off, got)
+
+    run()
+
+
 def test_sql_offsets_equal_pandas(spark):
     """The JVM locate-fold offsets must bit-match the pandas find-walk on
     a corpus slice PLUS handcrafted rows exercising the tricky paths
