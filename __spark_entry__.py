@@ -440,6 +440,14 @@ def q_kb_linking_ctx(spark, sf):
     ).orderBy("label")
 
 
+# size of the generated gazetteer the kb_pipeline driver row links
+# against (curated 450 ∪ kbgen rows; VERDICT r5 #9 — the composite must
+# be proven at realistic multi-sense collision density, not just against
+# the curated toy dimension). Shared by the Spark query and its oracle
+# so both sides build the bit-identical dimension.
+KB_PIPELINE_DIM_N = 30000
+
+
 def q_kb_pipeline(spark, sf):
     """End-to-end KB composite (the reference's actual pipeline order:
     resolve entities, then link_entities over the RESOLVED list with
@@ -448,8 +456,16 @@ def q_kb_pipeline(spark, sf):
     co-mention context → context-aware KB link once per cluster
     canonical → enrichment columns (README.md:311-324 SERVICE analog) →
     run metrics pinned as columns. Replaces the former kb_enrichment +
-    kb_link_metrics driver rows while widening the covered surface."""
-    from session_graph_spark.operators.linking import kb_df, link_clusters
+    kb_link_metrics driver rows while widening the covered surface.
+
+    Round 6: the dimension is the curated 450 ∪ the 30k generated
+    gazetteer (kbgen.generate_kb_rows(n=30000, seed=7): acronym aliases,
+    tech/non-tech senses, ~8% multi-sense collisions), so the ladder,
+    tie-breaks and context re-rank run against production-shaped
+    distractor statistics; the DuckDB oracle inlines the identical
+    33k-row dimension as VALUES."""
+    from session_graph_spark import kbgen
+    from session_graph_spark.operators.linking import KB_SCHEMA, link_clusters
     from session_graph_spark.operators.triples import entity_context
     from session_graph_spark.plans.pipeline import resolve
     from session_graph_spark.sources.testdata import documents_as_turns
@@ -460,7 +476,8 @@ def q_kb_pipeline(spark, sf):
             "conv_id", "turn_idx", F.col("cluster_id").alias("canon_label")
         )
     )
-    kb = kb_df(spark)
+    kb = spark.createDataFrame(
+        kbgen.generate_kb_rows(n=KB_PIPELINE_DIM_N, seed=7), KB_SCHEMA)
     linked = link_clusters(res.clusters, kb, context=ctx)
     aliases_dim = F.broadcast(kb.select(
         "kb_id", F.concat_ws(",", F.sort_array("aliases")).alias("aliases_csv")
@@ -1319,21 +1336,34 @@ def q_er_mentions(spark, sf):
     )
 
 
-def _kb_dim_sql() -> str:
+def _kb_dim_sql(n_generated: int = 0) -> str:
     """The gazetteer match dimension inlined as a VALUES CTE with the
-    tech-keyword flag precomputed — shared by every KB oracle."""
+    tech-keyword flag precomputed — shared by every KB oracle. With
+    n_generated > 0 the dimension is the curated table UNION the
+    deterministic kbgen gazetteer (generate_kb_rows(n, seed=7) — pure
+    Python, so the oracle inlines the bit-identical rows Spark loads)."""
     from session_graph_spark.operators.linking import KB_ENTRIES, TECH_KEYWORDS
 
+    if n_generated:
+        from session_graph_spark import kbgen
+
+        entries = kbgen.generate_kb_rows(n=n_generated, seed=7)
+    else:
+        entries = KB_ENTRIES
     rows = []
-    for kb_id, label, desc, aliases in KB_ENTRIES:
+    for kb_id, label, desc, aliases in entries:
         rows.append(f"('{label}', '{kb_id}', '{desc}', false)")
         for a in aliases:
             rows.append(f"('{a}', '{kb_id}', '{desc}', true)")
     values = ",\n             ".join(rows)
     kw = " OR ".join(f"contains(lower(description), '{k}')" for k in TECH_KEYWORDS)
-    return f"""dim0(match_key, kb_id, description, via_alias) AS (VALUES
+    # MATERIALIZED: DuckDB re-plans an inlined CTE per reference, and a
+    # 50k-row VALUES expression tree costs seconds PER REFERENCE to plan
+    # (the 33k-dim kb_pipeline oracle went 340s -> ~15s with this); the
+    # dim is referenced 2-4 times by every KB oracle.
+    return f"""dim0(match_key, kb_id, description, via_alias) AS MATERIALIZED (VALUES
              {values}),
-             dim AS (SELECT *, ({kw}) AS is_tech FROM dim0)"""
+             dim AS MATERIALIZED (SELECT *, ({kw}) AS is_tech FROM dim0)"""
 
 
 def _kb_linking_oracle() -> str:
@@ -1455,19 +1485,20 @@ def _kb_pipeline_oracle() -> str:
     semantics); the context-aware ladder links each canonical once;
     enrichment columns come from the KB VALUES; the three run counters
     are cross-joined onto every row."""
-    from session_graph_spark.operators.linking import KB_ENTRIES
-
-    enrich_rows = ",\n             ".join(
-        f"('{kb_id}', '{label}', '{desc}', '{','.join(sorted(aliases))}')"
-        for kb_id, label, desc, aliases in KB_ENTRIES
-    )
     return f"""
-        WITH RECURSIVE {_mentions_cte()},
+        WITH {_mentions_cte()},
         {_er_labels_cte()},
         {_score_cc_cte("er_labels")},
-        {_kb_dim_sql()},
-        enrich(kb_id, kb_label, description_e, aliases_csv) AS (VALUES
-             {enrich_rows}),
+        {_kb_dim_sql(n_generated=KB_PIPELINE_DIM_N)},
+        enrich AS (SELECT kb_id,
+                          max(CASE WHEN NOT via_alias THEN match_key END)
+                            AS kb_label,
+                          max(CASE WHEN NOT via_alias THEN description END)
+                            AS description_e,
+                          coalesce(string_agg(
+                              CASE WHEN via_alias THEN match_key END,
+                              ',' ORDER BY match_key), '') AS aliases_csv
+                   FROM dim0 GROUP BY kb_id),
         cmt AS (SELECT conv_id, turn_idx,
                        coalesce(al.canonical, mentions.norm_label) AS canon_label
                 FROM mentions LEFT JOIN al ON mentions.norm_label = al.surface),
@@ -1594,7 +1625,7 @@ def _er_clusters_oracle() -> str:
     Clusters = transitive closure, lexicographic-min canonical,
     singletons mapping to themselves (operators/cc.py semantics)."""
     return f"""
-        WITH RECURSIVE {_mentions_cte()},
+        WITH {_mentions_cte()},
         {_er_labels_cte()},
         {_score_cc_cte("er_labels")}
         SELECT l.canon_label AS label,
@@ -1756,12 +1787,18 @@ def _score_cc_cte(labels_rel: str, ctx_src: str | None = "derive") -> str:
         p AS MATERIALIZED (SELECT label_a, label_b FROM scored WHERE score >= 0.7),
         e AS MATERIALIZED (SELECT label_a AS u, label_b AS v FROM p
               UNION ALL SELECT label_b, label_a FROM p),
-        reach(a, b) AS (
-          SELECT u, v FROM e
-          UNION
-          SELECT r.a, e2.v FROM reach r JOIN e e2 ON r.b = e2.u),
-        grp AS (SELECT a AS label, least(min(b), a) AS cluster_id
-                FROM reach GROUP BY a)"""
+        -- the transitive closure is NESTED so callers' outer WITH stays
+        -- non-recursive: DuckDB re-plans every CTE per reference inside a
+        -- top-level WITH RECURSIVE block (MATERIALIZED hints ignored),
+        -- which costs seconds PER REFERENCE once the kb_pipeline oracle
+        -- inlines the 33k-entry gazetteer VALUES (340s -> ~15s)
+        grp AS MATERIALIZED (
+          WITH RECURSIVE reach(a, b) AS (
+            SELECT u, v FROM e
+            UNION
+            SELECT r.a, e2.v FROM reach r JOIN e e2 ON r.b = e2.u)
+          SELECT a AS label, least(min(b), a) AS cluster_id
+          FROM reach GROUP BY a)"""
 
 
 def _er_edges_exact_oracle() -> str:
@@ -1938,7 +1975,7 @@ def _er_incremental_oracle() -> str:
     watermark skip; reprocessed_convs = 1 pins that the late-update batch
     re-ran exactly the changed conversation."""
     return f"""
-        WITH RECURSIVE docs_upd AS (
+        WITH docs_upd AS (
           SELECT doc_id, source,
                  CASE WHEN source = (SELECT min(source) FROM documents)
                       THEN text || ' changedtoken changedtoken'
@@ -2004,7 +2041,7 @@ def _deepseek_zip_scan_oracle() -> str:
 def _er_resume_oracle() -> str:
     """er_clusters recomputation + the pinned stages_reused=1 flag."""
     return f"""
-        WITH RECURSIVE {_mentions_cte()},
+        WITH {_mentions_cte()},
         {_er_labels_cte()},
         {_score_cc_cte("er_labels")}
         SELECT l.canon_label AS label,
@@ -2019,7 +2056,7 @@ def _session_overlap_oracle() -> str:
     """Conversation pairs sharing > 2 clusters over the same score+CC
     assignment as the er_clusters oracle (min_sessions=2 default)."""
     return f"""
-        WITH RECURSIVE {_mentions_cte()},
+        WITH {_mentions_cte()},
         {_er_labels_cte()},
         {_score_cc_cte("er_labels")},
         mc AS (SELECT DISTINCT cm.conv_id,
