@@ -25,6 +25,20 @@ Every rep is appended to scripts/gate_r6_pools.jsonl as it completes
 (crash-safe); GATE_ANALYZE_ONLY=1 recomputes the summary from the file
 without running anything.
 
+SECOND AMENDMENT (2026-08-18, before the counted pool): the first
+collection attempt (07:03-08:40 UTC, archived verbatim in
+scripts/gate_r6_pools_contaminated.jsonl) ran CONCURRENTLY with other
+Spark work — the oracle-parity check was still running when rep 0
+started, and crashed harness sessions later launched stray full
+bench.py processes (one was caught live at 08:38, local[4], mid
+rep 7). The contamination is self-evident in the pool: the 4-core arm
+reads 102-584s where the same morning's quiet-machine pre-warmup pool
+reads 42.6-56.6s, and rep 5 is inverted (1-core 424s < 4-core 584s).
+The estimator is UNCHANGED; the fix is to enforce the protocol's own
+"nothing else running" precondition mechanically: before each rep the
+runner now blocks until no foreign Spark JVM / bench.py process exists,
+and every record carries loadavg + foreign-process count at rep start.
+
 Env: GATE_REPS (default 10), GATE_SF (default 0.3), GATE_N (default 1),
      GATE_POOL (default scripts/gate_r6_pools.jsonl).
 """
@@ -60,6 +74,42 @@ def pregen_corpus(sf: float) -> str:
               file=sys.stderr)
         spark.stop()
     return path
+
+
+def foreign_spark_procs() -> list[str]:
+    """Processes that would contend with a rep: any Spark JVM or bench.py
+    not belonging to this runner (the runner spawns reps synchronously, so
+    at guard time there should be none at all)."""
+    out = subprocess.run(["ps", "-eo", "pid,args"], capture_output=True,
+                         text=True).stdout
+    me = str(os.getpid())
+    hits = []
+    for ln in out.splitlines():
+        pid = ln.strip().split(None, 1)[0]
+        if pid in (me, str(os.getppid())):
+            continue
+        if "SparkSubmit" in ln or ("bench.py" in ln and "ps -eo" not in ln):
+            hits.append(ln.strip()[:160])
+    return hits
+
+
+def wait_quiet(max_wait: int = 1800) -> tuple[float, int]:
+    """Block until no foreign Spark/bench process is running; return
+    (loadavg_1min, n_foreign_seen_total). Enforces the pre-registered
+    'nothing else running' precondition; blind to rep results."""
+    waited, seen = 0, 0
+    while True:
+        hits = foreign_spark_procs()
+        if not hits:
+            load1 = float(open("/proc/loadavg").read().split()[0])
+            return load1, seen
+        seen = max(seen, len(hits))
+        print(f"[guard] waiting: {len(hits)} foreign proc(s): {hits[:2]}",
+              file=sys.stderr, flush=True)
+        if waited >= max_wait:
+            raise RuntimeError(f"machine not quiet after {max_wait}s: {hits}")
+        time.sleep(30)
+        waited += 30
 
 
 def run_rep(cpus: int, sf: float) -> dict:
@@ -114,6 +164,7 @@ def main() -> None:
         pregen_corpus(sf)
         for i in range(reps):
             for cpus in (n, 4 * n):
+                load1, n_foreign = wait_quiet()
                 t0 = time.time()
                 r = run_rep(cpus, sf)
                 rec = {
@@ -122,6 +173,8 @@ def main() -> None:
                     "turns": r["er_turns"],
                     "turns_per_sec": r["er_turns_per_sec"],
                     "wall_sec": round(time.time() - t0, 1),
+                    "load1_at_start": load1,
+                    "foreign_procs_waited": n_foreign,
                     "ts": datetime.now(timezone.utc).isoformat(),
                 }
                 with open(pool_path, "a") as f:
