@@ -71,9 +71,9 @@ def _fingerprint(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
-def _driver_union_find(spark, edges: DataFrame) -> DataFrame:
-    """Small-graph fast path: collect edges, union-find on the driver,
-    broadcast the assignment back. Semantically identical to the
+def _driver_union_find(spark, edge_rows) -> DataFrame:
+    """Small-graph fast path: union-find the collected edge rows on the
+    driver, broadcast the assignment back. Semantically identical to the
     distributed loop (root = min label); property-tested against it."""
     parent: dict[str, str] = {}
 
@@ -83,7 +83,7 @@ def _driver_union_find(spark, edges: DataFrame) -> DataFrame:
             x = parent[x]
         return x
 
-    for u, v in edges.collect():
+    for u, v in edge_rows:
         parent.setdefault(u, u)
         parent.setdefault(v, v)
         ru, rv = find(u), find(v)
@@ -117,8 +117,15 @@ def connected_components(
     # lazy localCheckpoint: the fingerprint action below materializes it,
     # so each iteration costs exactly one Spark action
     e = _canonical(edges.select("u", "v")).localCheckpoint(eager=False)
-    if driver_threshold and e.count() <= driver_threshold:
-        return _driver_union_find(edges.sparkSession, e)
+    if driver_threshold:
+        # ONE job decides the path AND feeds the fast path: collect up to
+        # threshold+1 rows — if the limit is not exceeded we already hold
+        # the entire edge set, so the previous separate count() job is
+        # free. Over-threshold graphs pay one bounded 200k-row collect
+        # before the distributed loop (driver-safe by construction).
+        probe = e.limit(driver_threshold + 1).collect()
+        if len(probe) <= driver_threshold:
+            return _driver_union_find(edges.sparkSession, probe)
     prev = (-1, 0)
     for _ in range(max_iterations):
         e = _large_star(e)
