@@ -173,11 +173,25 @@ def _mention_context(mentions: DataFrame, aliases: DataFrame,
     - CONTENT: co-occurrence counts only labels from the SURVIVING set
       (min-sessions filter) — one-off labels are noise as context.
 
-    The whole derivation is one narrow scan of the cached mention table
-    (the sampled turn keys broadcast back onto it); every wide operation
-    runs on band-sized data. Cached (not force-materialized): the two
-    broadcast builds in apply_context_bonus are the only consumers, and
-    the first populates the cache for the second."""
+    The derivation makes two narrow passes over the cached mention
+    table (pick the sample turns; gather co-mentions on them); every
+    wide operation runs on band-sized data. Both passes filter on the
+    RAW norm_label / turn key FIRST and only then canonicalize: the
+    band filter is on apply_aliases' *output* (a coalesce over the
+    broadcast-join result), which Catalyst cannot push below the join,
+    so the r5 shape ran every corpus mention row through 2-3 broadcast
+    probes before discarding it — measured corpus-scan-bound under load
+    (scripts/ctx_stage_r6*.jsonl: 4x more band rows moved the 1-core
+    stage only 14.3s -> 16.6s). The alias dimension is driver-sized by
+    design (N4), so the band's surface-form preimage is computed up
+    front and pushed down as the scan filter; aliasing then runs on
+    band-sized data. Bit-identical to the r5 plan: filtering the
+    preimage then canonicalizing == canonicalizing then filtering, and
+    the surviving-set semi-join was a no-op on the sample pass because
+    band labels come from candidate_pairs(labels). Cached (not
+    force-materialized): the two broadcast builds in
+    apply_context_bonus are the only consumers, and the first populates
+    the cache for the second."""
     from pyspark.sql import Window
 
     from session_graph_spark.functions.similarity import CTX_EVIDENCE_TURNS
@@ -190,17 +204,40 @@ def _mention_context(mentions: DataFrame, aliases: DataFrame,
     wanted_rows = wanted.limit(10_001).collect()
     if not wanted_rows:
         return None
-    canon = apply_aliases(
-        mentions.select("conv_id", "turn_idx", "norm_label"), aliases,
-        label_col="norm_label", out_col="canon_label",
-    ).join(F.broadcast(labels.select("canon_label").distinct()),
-           "canon_label", "left_semi")
+    alias_pairs = [
+        (r["surface"], r["canonical"])
+        for r in aliases.select("surface", "canonical").collect()
+    ]
+    raw_m = mentions.select("conv_id", "turn_idx", "norm_label")
     if len(wanted_rows) <= 10_000:
-        band_m = canon.where(
-            F.col("canon_label").isin([r[0] for r in wanted_rows])
+        # preimage of the band under apply_aliases: every surface that
+        # canonicalizes INTO the band, plus band labels that are not
+        # themselves remapped surfaces (a surface that aliases away can
+        # never canonicalize to itself)
+        wanted_set = {r[0] for r in wanted_rows}
+        alias_keys = {s for s, _ in alias_pairs}
+        surfaces = sorted(
+            {s for s, c in alias_pairs if c in wanted_set}
+            | (wanted_set - alias_keys)
         )
+        band_raw = raw_m.where(F.col("norm_label").isin(surfaces))
     else:
-        band_m = canon.join(F.broadcast(wanted), "canon_label", "left_semi")
+        # same preimage, derived distributed when the band floods
+        surf_df = (
+            aliases.select(F.col("surface").alias("norm_label"),
+                           F.col("canonical").alias("canon_label"))
+            .join(F.broadcast(wanted), "canon_label", "left_semi")
+            .select("norm_label")
+            .unionByName(
+                wanted.select(F.col("canon_label").alias("norm_label"))
+                .join(F.broadcast(aliases.select(
+                    F.col("surface").alias("norm_label"))),
+                    "norm_label", "left_anti")
+            )
+        )
+        band_raw = raw_m.join(F.broadcast(surf_df), "norm_label", "left_semi")
+    band_m = apply_aliases(band_raw, aliases, label_col="norm_label",
+                           out_col="canon_label")
     # hash-spread order: an unbiased deterministic sample of the label's
     # turns (md5 is identical in Spark and DuckDB, so the oracle mirrors
     # the exact sample); conv/turn tiebreak for md5-collision paranoia.
@@ -235,8 +272,16 @@ def _mention_context(mentions: DataFrame, aliases: DataFrame,
         .where(F.col("__rk") <= CTX_EVIDENCE_TURNS)
         .select(F.col("canon_label").alias("__band"), "conv_id", "turn_idx")
     )
+    # gather pass: probe the corpus scan against the broadcast sample
+    # keys FIRST (one hash probe per mention row), then canonicalize and
+    # apply the CONTENT bound (surviving labels only) on the sampled
+    # turns' rows — band-sized, not corpus-sized
     co = (
-        canon.join(F.broadcast(sampled), ["conv_id", "turn_idx"])
+        apply_aliases(
+            raw_m.join(F.broadcast(sampled), ["conv_id", "turn_idx"]),
+            aliases, label_col="norm_label", out_col="canon_label")
+        .join(F.broadcast(labels.select("canon_label").distinct()),
+              "canon_label", "left_semi")
         .where(F.col("canon_label") != F.col("__band"))
         # both inputs can carry dups (two surfaces -> one canonical);
         # co-occurrence counts distinct turns — dedup on the band-sized

@@ -263,3 +263,26 @@ def test_ctx_sample_salting_is_exact(spark):
     ctx.unpersist()
     assert set(got) == {"apache spark"}
     assert got["apache spark"] == ["redis"]
+
+
+def test_ctx_pushdown_preimage_covers_alias_surfaces(spark):
+    """The r6 filter pushdown in _mention_context filters the corpus scan
+    on RAW norm_label before canonicalizing, so the filter set must be
+    the band's full preimage under apply_aliases: a mention whose surface
+    form is an alias ('k8s') of a wanted canonical ('kubernetes') must
+    still feed the sample/co-mention passes even though the canonical
+    string never appears verbatim in any mention."""
+    from session_graph_spark.plans.pipeline import (alias_df,
+                                                    _mention_context)
+
+    rows = [("c%02d" % i, 0, "k8s") for i in range(20)]
+    rows += [("c%02d" % i, 0, "redis") for i in range(20)]
+    mentions = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, norm_label string")
+    labels = spark.createDataFrame(
+        [("kubernetes",), ("redis",)], "canon_label string")
+    wanted = spark.createDataFrame([("kubernetes",)], "canon_label string")
+    ctx = _mention_context(mentions, alias_df(spark), labels, wanted)
+    got = {r["canon_label"]: r["context"] for r in ctx.collect()}
+    ctx.unpersist()
+    assert got == {"kubernetes": ["redis"]}
