@@ -35,13 +35,10 @@ from session_graph_spark.plans.checkpoint import StageStore, filter_unprocessed
 
 MIN_SESSIONS = 2  # reference --min-sessions default (link_entities.py:824-828)
 
-# parallel slices per band label for the context-sample top-K (see
-# _mention_context): bounds the largest single-task sort at
-# n_label_turns / CTX_SAMPLE_SALTS rows regardless of how hot the label
-# is. 64 keeps every executor of a wide cluster busy on one hot label
-# while phase 2 stays trivially small (<= 64 * CTX_EVIDENCE_TURNS rows
-# per label).
-CTX_SAMPLE_SALTS = 64
+# NOTE: the round-5 CTX_SAMPLE_SALTS salted two-phase top-K was removed
+# in round 6 — Spark's rank-limit pushdown (WindowGroupLimit) already
+# bounds the per-task work of the context-sample window map-side, and
+# the salt actively defeated it (see _mention_context).
 
 
 @dataclass
@@ -241,34 +238,43 @@ def _mention_context(mentions: DataFrame, aliases: DataFrame,
     # hash-spread order: an unbiased deterministic sample of the label's
     # turns (md5 is identical in Spark and DuckDB, so the oracle mirrors
     # the exact sample); conv/turn tiebreak for md5-collision paranoia.
-    # Top-K is SALTED TWO-PHASE: band labels are hot by nature ('not',
-    # 'apache spark'), so a single partitionBy(label) window sorts each
-    # hot label's whole turn set inside ONE task — per-stage attribution
-    # (scripts/stage_scaling.py) measured this stage at 0.36 scaling
-    # efficiency 1->4 cores while extraction scaled at 0.93, and on a
-    # real cluster one task owning a hot label's billions of rows is a
-    # straggler by construction. Phase 1 ranks within (label, salt)
-    # slices in parallel and keeps K per slice; phase 2 ranks the
-    # <= SALTS*K survivors per label. The orderBy is a total order
-    # (md5, conv, turn), so the K rows selected are bit-identical to the
-    # unsalted window's — the oracle mirror is unchanged.
+    # Top-K rides Spark's rank-limit pushdown (WindowGroupLimit, Spark
+    # 3.5+): a `dense_rank() <= K` filter plans a PARTIAL group-limit on
+    # the map side, so each scan partition keeps only its first K
+    # distinct turns per label (heap scan, no shuffle of the label's
+    # full turn set) and the per-label exchange carries <= K rows per
+    # label per map partition — a hot label's billions of rows never
+    # reach one task. dense_rank (not row_number) because the input is
+    # NOT pre-deduped: the order key (md5, conv, turn) is a pure
+    # function of (conv, turn), so ties are exactly duplicate turn rows
+    # (two surfaces canonicalizing to one label) and rank <= K selects
+    # precisely the first K distinct turns; the residual dup rows are
+    # dropped on the tiny post-limit frame. Deduping this way (instead
+    # of the round-5 distinct() + salted two-phase row_number) matters
+    # twice at scale: the distinct was a full band-sized shuffle whose
+    # output AQE legitimately coalesces to few partitions when the
+    # band's shuffle BYTES are small — which then serialized the
+    # downstream sort + partial group-limit into those few tasks (the
+    # round-6 counted pool read ctx_build 0.346 at 1v4,
+    # scripts/ctx_stage_r6_counted.jsonl) — and the 64-way salt
+    # multiplied the partial limit's groups 64x, so at <= 64*K rows
+    # kept per partition the map-side reduction never reduced anything.
+    # Dropping both runs the group-limit directly on the cached
+    # mention-scan partitioning.
     sample_key = F.md5(
         F.concat_ws("|", F.col("conv_id"), F.col("turn_idx").cast("string"))
-    )
-    w1 = Window.partitionBy("canon_label", "__salt").orderBy(
-        sample_key, "conv_id", "turn_idx"
     )
     w2 = Window.partitionBy("canon_label").orderBy(
         sample_key, "conv_id", "turn_idx"
     )
+    # residual dup rows (same turn, two surfaces) are NOT dropped here:
+    # the gather pass's count_distinct collapses the duplicate join
+    # matches they produce, so a dropDuplicates would spend an extra
+    # exchange + stage inside the broadcast build to remove rows the
+    # aggregate already ignores
     sampled = (
-        band_m.select("canon_label", "conv_id", "turn_idx").distinct()
-        .withColumn("__salt",
-                    F.pmod(F.xxhash64("conv_id", "turn_idx"),
-                           F.lit(CTX_SAMPLE_SALTS)))
-        .withColumn("__rk1", F.row_number().over(w1))
-        .where(F.col("__rk1") <= CTX_EVIDENCE_TURNS)
-        .withColumn("__rk", F.row_number().over(w2))
+        band_m.select("canon_label", "conv_id", "turn_idx")
+        .withColumn("__rk", F.dense_rank().over(w2))
         .where(F.col("__rk") <= CTX_EVIDENCE_TURNS)
         .select(F.col("canon_label").alias("__band"), "conv_id", "turn_idx")
     )
@@ -280,23 +286,35 @@ def _mention_context(mentions: DataFrame, aliases: DataFrame,
         apply_aliases(
             raw_m.join(F.broadcast(sampled), ["conv_id", "turn_idx"]),
             aliases, label_col="norm_label", out_col="canon_label")
-        .join(F.broadcast(labels.select("canon_label").distinct()),
+        # labels is one row per canon_label by construction
+        # (normalized_labels groupBy) — no distinct shuffle in this
+        # broadcast build
+        .join(F.broadcast(labels.select("canon_label")),
               "canon_label", "left_semi")
         .where(F.col("canon_label") != F.col("__band"))
         # both inputs can carry dups (two surfaces -> one canonical);
-        # co-occurrence counts distinct turns — dedup on the band-sized
-        # join output, never the corpus
+        # co-occurrence counts distinct turns — count_distinct's partial
+        # aggregation dedups map-side in the SAME shuffle as the count
+        # (the former dropDuplicates + count was a second full shuffle
+        # and an extra codegen stage of per-job latency)
         .select("__band", "conv_id", "turn_idx",
                 F.col("canon_label").alias("ctx"))
-        .dropDuplicates()
-        .groupBy("__band", "ctx").agg(F.count("*").alias("n"))
+        .groupBy("__band", "ctx")
+        .agg(F.count_distinct("conv_id", "turn_idx").alias("n"))
     )
-    rank_w = Window.partitionBy("__band").orderBy(F.desc("n"), F.asc("ctx"))
+    # top-5 by (n desc, ctx asc) fused into the per-band aggregate:
+    # array_sort on (-n, ctx) structs == the former rank window's order,
+    # so slice(.., 1, 5) selects the identical five and sort_array
+    # yields the identical context vector — one aggregate stage instead
+    # of window + filter + aggregate (each a codegen stage of fixed
+    # latency on a frame that is band-sized anyway)
     return (
-        co.withColumn("__r", F.row_number().over(rank_w))
-        .where(F.col("__r") <= 5)
-        .groupBy("__band")
-        .agg(F.sort_array(F.collect_set("ctx")).alias("context"))
+        co.groupBy("__band")
+        .agg(F.sort_array(F.transform(
+            F.slice(F.array_sort(F.collect_list(
+                F.struct((-F.col("n")).alias("a"), F.col("ctx").alias("b")))),
+                1, 5),
+            lambda x: x["b"])).alias("context"))
         .withColumnRenamed("__band", "canon_label")
         .cache()
     )

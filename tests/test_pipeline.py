@@ -211,20 +211,26 @@ def test_sql_cc_replays_pipeline_merges(result):
     assert sum(1 for k, v in got.items() if k != v) >= 10
 
 
-def test_ctx_sample_salting_is_exact(spark):
-    """The salted two-phase top-K in _mention_context must select the
-    bit-identical sample the naive single-window form selects — salting
-    is a physical-plan change only. Pinned on a skewed frame (one hot
-    label owning most turns, well past CTX_EVIDENCE_TURNS)."""
+def test_ctx_sample_dense_rank_is_exact(spark):
+    """The dense_rank group-limit sample in _mention_context must select
+    the bit-identical turn set the naive distinct() + row_number form
+    selects — the r6 rewrite (drop the distinct shuffle and the salt,
+    ride WindowGroupLimit) is a physical-plan change only. Pinned on a
+    skewed frame (one hot label owning most turns, well past
+    CTX_EVIDENCE_TURNS) that CONTAINS DUPLICATE TURN ROWS (the case the
+    removed distinct() handled: two surfaces canonicalizing to one
+    label in one turn)."""
     from pyspark.sql import Window
 
     from session_graph_spark.functions.similarity import CTX_EVIDENCE_TURNS
-    from session_graph_spark.plans.pipeline import (CTX_SAMPLE_SALTS,
-                                                    alias_df,
+    from session_graph_spark.plans.pipeline import (alias_df,
                                                     _mention_context)
 
     rows = [("c%04d" % (i % 997), i, "apache spark") for i in range(5000)]
     rows += [("c%04d" % (i % 997), i, "redis") for i in range(5000)]
+    # duplicate turn rows: every 7th hot-label turn appears twice
+    rows += [("c%04d" % (i % 997), i, "apache spark")
+             for i in range(0, 5000, 7)]
     band_m = spark.createDataFrame(rows, "conv_id string, turn_idx int, canon_label string")
 
     key = F.md5(F.concat_ws("|", F.col("conv_id"), F.col("turn_idx").cast("string")))
@@ -235,26 +241,21 @@ def test_ctx_sample_salting_is_exact(spark):
         .where(F.col("__rk") <= CTX_EVIDENCE_TURNS)
         .select("canon_label", "conv_id", "turn_idx")
     )
-    salted = (
-        band_m.distinct()
-        .withColumn("__salt", F.pmod(F.xxhash64("conv_id", "turn_idx"),
-                                     F.lit(CTX_SAMPLE_SALTS)))
-        .withColumn("__rk1", F.row_number().over(
-            Window.partitionBy("canon_label", "__salt")
-            .orderBy(key, "conv_id", "turn_idx")))
-        .where(F.col("__rk1") <= CTX_EVIDENCE_TURNS)
-        .withColumn("__rk", F.row_number().over(
+    dense = (
+        band_m
+        .withColumn("__rk", F.dense_rank().over(
             Window.partitionBy("canon_label").orderBy(key, "conv_id", "turn_idx")))
         .where(F.col("__rk") <= CTX_EVIDENCE_TURNS)
+        .dropDuplicates(["canon_label", "conv_id", "turn_idx"])
         .select("canon_label", "conv_id", "turn_idx")
     )
     n_hot = naive.where(F.col("canon_label") == "apache spark").count()
     assert n_hot == CTX_EVIDENCE_TURNS  # the skew actually exercises top-K
-    assert naive.exceptAll(salted).count() == 0
-    assert salted.exceptAll(naive).count() == 0
+    assert naive.exceptAll(dense).count() == 0
+    assert dense.exceptAll(naive).count() == 0
 
-    # and the production function (which now salts internally) still
-    # yields vectors for exactly the wanted labels
+    # and the production function still yields vectors for exactly the
+    # wanted labels
     mentions = band_m.withColumnRenamed("canon_label", "norm_label")
     labels = band_m.select("canon_label").distinct()
     wanted = spark.createDataFrame([("apache spark",)], "canon_label string")
