@@ -193,7 +193,11 @@ def is_valid_entity_col(c: Column) -> Column:
     rej_full = rej_full | (F.size(F.split(c, " ")) > 3)
     # plain-alpha fast path (same as the pandas kernel): a ^[a-z]+$ token
     # can only trip the hexhash or 2-char rules; CASE WHEN makes codegen
-    # evaluate only the taken branch, skipping the ~20 rlikes above
+    # evaluate only the taken branch, skipping the ~20 rlikes above.
+    # (r6: a translate()-char-table variant of these two tests measured
+    # identical within noise in a 4-quadrant interleaved A/B —
+    # scripts/extract_microbench.py narrative in BENCH.md — so the
+    # regex form stays for structural parity with the pandas kernel.)
     plain = c.rlike(r"\A[a-z]+\Z")
     rej = F.when(plain, c.rlike(r"\A[a-f]{6,}\Z") | (n == 2)).otherwise(rej_full)
     return (~base_reject) & (white | ~rej)

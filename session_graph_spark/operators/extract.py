@@ -35,6 +35,19 @@ _PHRASES = sorted(
     reverse=True,
 )
 
+# the SQL engines' per-candidate norm skips normalize_entity's trim and
+# whitespace-collapse as provable no-ops: residual tokens come from
+# split(\s+) (cannot contain whitespace) and phrase candidates are
+# literal gazetteer matches — valid ONLY while every gazetteer entry is
+# already trimmed and single-spaced, so enforce that loudly at import
+# (survives python -O, unlike assert)
+for _p in _PHRASES:
+    if _p != " ".join(_p.split()):
+        raise ValueError(
+            f"gazetteer phrase {_p!r} is not trimmed/single-spaced; "
+            "extract_mentions_sql's reduced norm() would diverge from "
+            "normalize_entity on its matches")
+
 
 def _trie_pattern(words: list[str]) -> str:
     """Common-prefix-factored alternation (trie regex).
@@ -240,8 +253,10 @@ def extract_mentions_sql(turns: DataFrame, with_offsets: bool = False) -> DataFr
     n_ph = F.size("ph")
 
     def norm(x):
-        y = F.regexp_replace(F.trim(x), r"\s+", " ")
-        return F.regexp_replace(y, r"[.,;:]+$", "")
+        # normalize_entity minus trim + ws-collapse, no-ops here: split
+        # tokens carry no whitespace and phrase hits are literal
+        # single-spaced gazetteer strings (invariant enforced at import)
+        return F.regexp_replace(x, r"[.,;:]+$", "")
 
     normed = F.transform(cands, norm)
     kept = F.filter(
@@ -362,8 +377,9 @@ def _extract_mentions_sql_offsets(turns: DataFrame) -> DataFrame:
     n_ph = F.size("ph")
 
     def norm(x):
-        y = F.regexp_replace(F.trim(x), r"\s+", " ")
-        return F.regexp_replace(y, r"[.,;:]+$", "")
+        # same reduced norm as the default SQL path (no-op trim/ws
+        # dropped; gazetteer invariant enforced at import)
+        return F.regexp_replace(x, r"[.,;:]+$", "")
 
     normed = F.transform(
         "cands",
