@@ -177,6 +177,41 @@ def main() -> None:
         ["BroadcastHashJoin"],
     ))
 
+    # 8b. context-sample plan shape (round 6): the evidence sample MUST
+    # plan as a rank-limit pushdown — WindowGroupLimit(Partial) on the
+    # map side keeps only top-K turns per band label per partition, so a
+    # hot label's full turn set never funnels through one task. This is
+    # the property the round-6 dense_rank rewrite exists for (the
+    # round-5 salt + distinct DEFEATED it — counted FAIL 0.346,
+    # BENCH.md); asserting it here makes a regression to any
+    # non-pushdown-eligible sample shape machine-caught. Inputs are
+    # range-backed (local relations would constant-fold the whole plan).
+    from session_graph_spark.plans.pipeline import _mention_context, alias_df
+
+    # labels must NOT be alias surfaces: a band label that remaps away
+    # has an empty surface preimage, and with an all-literal band the
+    # optimizer constant-folds the whole stage to an empty relation
+    m_demo = spark.range(100).select(
+        F.concat(F.lit("c"), (F.col("id") % 7).cast("string")).alias("conv_id"),
+        (F.col("id") % 3).cast("int").alias("turn_idx"),
+        F.element_at(
+            F.array(F.lit("alphaflux"), F.lit("betagrid"), F.lit("gammavane")),
+            ((F.col("id") % 3) + 1).cast("int")).alias("norm_label"))
+    l_demo = m_demo.select(F.col("norm_label").alias("canon_label")).distinct()
+    w_demo = spark.range(2).select(
+        F.element_at(F.array(F.lit("alphaflux"), F.lit("betagrid")),
+                     (F.col("id") + 1).cast("int")).alias("canon_label"))
+    ctx_plan = explain_str(_mention_context(
+        m_demo, alias_df(spark), l_demo, w_demo, cache=False))
+    assert ctx_plan.count("WindowGroupLimit") >= 2, \
+        "ctx sample must plan as a partial+final rank-limit pushdown"
+    assert "CartesianProduct" not in ctx_plan
+    sections.append((
+        "Context sample: WindowGroupLimit rank-limit pushdown (partial+final)",
+        ctx_plan,
+        ["WindowGroupLimit"],
+    ))
+
     # 9. KB link join (round 4: external dimension path): the match dim is
     # broadcast regardless of whether it came from code or parquet
     from session_graph_spark.operators.linking import kb_df, link_to_kb

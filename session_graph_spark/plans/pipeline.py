@@ -151,7 +151,8 @@ def normalized_labels(
 
 
 def _mention_context(mentions: DataFrame, aliases: DataFrame,
-                     labels: DataFrame, wanted: DataFrame) -> DataFrame | None:
+                     labels: DataFrame, wanted: DataFrame,
+                     cache: bool = True) -> DataFrame | None:
     """Per-canonical-label top-5 co-mention context vectors for the
     scoring bonus, or None when the band is empty (nothing the bonus can
     flip). Three scale bounds keep this stage O(band x evidence), never
@@ -308,7 +309,7 @@ def _mention_context(mentions: DataFrame, aliases: DataFrame,
     # yields the identical context vector — one aggregate stage instead
     # of window + filter + aggregate (each a codegen stage of fixed
     # latency on a frame that is band-sized anyway)
-    return (
+    out = (
         co.groupBy("__band")
         .agg(F.sort_array(F.transform(
             F.slice(F.array_sort(F.collect_list(
@@ -316,8 +317,11 @@ def _mention_context(mentions: DataFrame, aliases: DataFrame,
                 1, 5),
             lambda x: x["b"])).alias("context"))
         .withColumnRenamed("__band", "canon_label")
-        .cache()
     )
+    # cache=False exists for the plan audit only (scripts/explain_plans.py
+    # asserts the WindowGroupLimit pushdown on the UNCACHED plan — the
+    # InMemoryRelation node hides its child subtree in formatted explain)
+    return out.cache() if cache else out
 
 
 def resolve(
