@@ -212,6 +212,27 @@ def main() -> None:
         ["WindowGroupLimit"],
     ))
 
+    # 8c. federated bridge (round 6, SERVICE-template analog W5): pairs
+    # must NEVER materialize quadratically — both arms are equi-join
+    # chains through the broadcast claim edges, so the plan has no
+    # cartesian/nested-loop product at any linked-set cardinality
+    from session_graph_spark.operators import federation as FD
+
+    r = FD.remote_dfs(spark)
+    lk_demo = FD.same_as(
+        spark.range(50).select(
+            F.concat(F.lit("t"), F.col("id").cast("string")).alias("label")),
+        r["entities"])
+    bridge_plan = explain_str(FD.fed_bridge(lk_demo, r))
+    assert "CartesianProduct" not in bridge_plan
+    assert "BroadcastNestedLoopJoin" not in bridge_plan, \
+        "fed_bridge must drive pairs through claim equi-joins"
+    sections.append((
+        "Federated bridge: equi-join chains through broadcast claims",
+        bridge_plan,
+        ["BroadcastHashJoin"],
+    ))
+
     # 9. KB link join (round 4: external dimension path): the match dim is
     # broadcast regardless of whether it came from code or parquet
     from session_graph_spark.operators.linking import kb_df, link_to_kb
