@@ -240,15 +240,22 @@ def same_as(local_labels: DataFrame, entities: DataFrame,
     """owl:sameAs: local label -> remote qid by exact lowercase label
     match (the reference materializes these links per entity,
     link_entities.py; here the dimension IS the link table). Inner join:
-    unlinked labels have nothing to federate. The entity dim broadcasts;
-    the corpus side is never shuffled."""
+    unlinked labels have nothing to federate.
+
+    Order of operations is the scale point: the broadcast probe runs
+    FIRST and the distinct() after it, so the only shuffle carries rows
+    that matched the dimension (bounded by |entities| distinct keys) —
+    a distinct() before the join would shuffle the corpus's full
+    distinct-token set. Identical semantics because dim labels are
+    unique (enforced by _validate_snapshot), so join-then-distinct ==
+    distinct-then-join."""
     dim = F.broadcast(entities.select(
         F.col("label").alias("__rlabel"), "qid"))
     return (local_labels
             .select(F.lower(F.trim(F.col(label_col))).alias("label"))
-            .distinct()
             .join(dim, F.col("label") == F.col("__rlabel"))
-            .drop("__rlabel"))
+            .drop("__rlabel")
+            .distinct())
 
 
 def _value_labels(r: dict[str, DataFrame]) -> DataFrame:
