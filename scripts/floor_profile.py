@@ -72,7 +72,12 @@ def main() -> None:
 
     aliases = alias_df(spark)
     t = prepare_turns(spark.read.parquet(path))
-    mentions = mentions_from_turns(t).cache()
+    # r7: mirror resolve()'s fast path — cache the per-turn arrays,
+    # mentions is a lazy explode of the cache
+    from session_graph_spark.operators.extract import explode_mention_arrays
+    from session_graph_spark.plans.pipeline import mention_arrays_from_turns
+    m_arrays = mention_arrays_from_turns(t).cache()
+    mentions = explode_mention_arrays(m_arrays)
     timed("mentions_count", mentions.count)
     labels = normalized_labels(mentions, aliases).cache()
     timed("labels_count", labels.count)
@@ -96,11 +101,25 @@ def main() -> None:
     edges = match_edges(scored)
     clusters = assign_clusters(labels, edges, label_col="canon_label").cache()
     timed("clusters_count", clusters.count)
-    from session_graph_spark.functions.normalize import apply_aliases
-    mc = (apply_aliases(mentions, aliases, label_col="norm_label",
-                        out_col="canon_label")
-          .join(clusters, F.col("canon_label") == F.col("label"), "inner")
-          .drop("label"))
+    # r7 single-probe shape (mirrors resolve)
+    cl = clusters.select(F.col("label").alias("canon_label"), "cluster_id")
+    dim_alias = (
+        aliases.select(F.col("surface").alias("norm_label"),
+                       F.col("canonical").alias("canon_label"))
+        .join(cl, "canon_label")
+        .select("norm_label", "canon_label", "cluster_id")
+    )
+    dim_direct = (
+        cl.withColumn("norm_label", F.col("canon_label"))
+        .join(aliases.select(F.col("surface").alias("norm_label")),
+              "norm_label", "left_anti")
+        .select("norm_label", "canon_label", "cluster_id")
+    )
+    mc = (mentions.join(F.broadcast(dim_alias.unionByName(dim_direct)),
+                        "norm_label")
+          .select("conv_id", "turn_idx", "platform", "ts", "mention",
+                  "norm_label", "mention_id", "pos", "canon_label",
+                  "cluster_id"))
     timed("mention_clusters_count", mc.count)
 
     print(json.dumps({"cpus": cpus, "sf": sf, "actions": actions,

@@ -220,22 +220,35 @@ def extract_mentions_pandas(turns: DataFrame,
     return turns.select(*cols).mapInPandas(run, schema=schema)
 
 
-def extract_mentions_sql(turns: DataFrame, with_offsets: bool = False) -> DataFrame:
-    """Pure-JVM extraction: regexp_extract_all for the phrase gazetteer,
-    split for tokens, higher-order array ops for normalize/L1-filter/
-    first-occurrence-dedup/cap — all per-row inside whole-stage codegen,
-    zero shuffle, no Python workers. Emits mention = normalized label
-    (the pandas form keeps the raw surface; nothing downstream reads it).
+# phrase-hit markers for the single-scan extraction head (r7). The trie
+# regex is the expensive scan — the round-6 microbench priced each trie
+# pass at ~4.5s of the ~20s stage (local[8], sf0.1) and the r7 variant
+# A/B (scripts/r7_extract_variants.py) measured the two-scan form 1.26x
+# slower end to end — so ONE regexp_replace wraps every phrase hit in
+# \x01..\x02 and both downstream needs become cheap marker scans:
+# phrase list = regexp_extract_all on the marker pattern, residual
+# tokens = split on (marker-span | whitespace), which yields exactly the
+# fragments the former replace-with-space + \s+ split produced.
+# Equivalence caveat (documented, not load-bearing): input text that
+# itself contains \x01/\x02 control bytes would mis-parse; conversation
+# text never carries them and the pandas engine equivalence tests pin
+# the behavior on real text shapes.
+_M1, _M2 = "\x01", "\x02"
+_MARKER_EXTRACT = rf"{_M1}([^{_M2}]*){_M2}"
+_MARKER_OR_WS = rf"{_M1}[^{_M2}]*{_M2}|\s+"
 
-    with_offsets=True additionally carries each kept mention's 1-based
-    char offset in the lowered truncated text (see
-    _extract_mentions_sql_offsets). The default path is byte-identical
-    to the offset-free round-5 plan: ER never consumes offsets, and
-    carrying a dead column through the mention shuffle at 10^12 turns is
-    pure cost — triple construction opts in.
-    """
-    if with_offsets:
-        return _extract_mentions_sql_offsets(turns)
+
+def _marked_head(turns: DataFrame):
+    """Shared single-trie-scan head: (frame with `resid` marked text and
+    `ph` phrase array, deduped-capped label array expression).
+
+    The returned frame keeps `resid` and `ph` as NAMED PROJECT OUTPUTS
+    and the big array expression references them as attributes — do NOT
+    refactor this into further stacked selects over the array: letting
+    the optimizer inline `ph`/`resid` into a downstream Generate
+    re-evaluates the trie regex per candidate element (observed: a
+    factored arrays->explode composition planned 5x regexp_extract_all
+    / 10x regexp_replace and ran ~30x slower)."""
     from pyspark.sql import functions as F
 
     from session_graph_spark.functions.filters import is_valid_entity_col
@@ -245,10 +258,12 @@ def extract_mentions_sql(turns: DataFrame, with_offsets: bool = False) -> DataFr
 
     t = turns.select(
         "conv_id", "turn_idx", "platform", "ts",
-        F.regexp_extract_all(lower_text, F.lit(java_phrase_re), 1).alias("ph"),
-        F.regexp_replace(lower_text, java_phrase_re, " ").alias("resid"),
+        F.regexp_replace(lower_text, java_phrase_re,
+                         f"{_M1}$1{_M2}").alias("resid"),
+    ).withColumn(
+        "ph", F.regexp_extract_all("resid", F.lit(_MARKER_EXTRACT), 1)
     )
-    toks = F.filter(F.split("resid", r"\s+"), lambda x: x != "")
+    toks = F.filter(F.split("resid", _MARKER_OR_WS), lambda x: x != "")
     cands = F.concat("ph", toks)
     n_ph = F.size("ph")
 
@@ -264,6 +279,72 @@ def extract_mentions_sql(turns: DataFrame, with_offsets: bool = False) -> DataFr
         lambda x, i: (i < n_ph) | is_valid_entity_col(x),
     )
     deduped = F.slice(F.array_distinct(kept), 1, MAX_MENTIONS_PER_TURN)
+    return t, deduped
+
+
+def extract_mention_arrays(turns: DataFrame) -> DataFrame:
+    """Per-turn extraction WITHOUT the final explode: one row per turn
+    with the deduped, capped mention-label array — the form the ER
+    pipeline CACHES (r7): ~10x fewer rows and no per-mention
+    conv_id/mention_id duplication in the cache bytes.
+
+    Use `explode_mention_arrays` ONLY over the materialized cache (an
+    InMemoryRelation): exploding this plan uncached invites the
+    generator-inlining hazard documented in _marked_head — the uncached
+    full-table path is extract_mentions_sql."""
+    t, deduped = _marked_head(turns)
+    return t.select(
+        "conv_id", "turn_idx", "platform", "ts",
+        deduped.alias("norm_labels"),
+    )
+
+
+def explode_mention_arrays(arrays: DataFrame) -> DataFrame:
+    """(conv_id, turn_idx, platform, ts, norm_labels array) -> the
+    standard mention table (identical schema/values to
+    extract_mentions_sql; equivalence pinned by
+    tests/test_r7_pipeline_equiv.py). mention/mention_id are derived
+    columns — computing them here (post-cache) means the ER cache never
+    stores or concatenates them unless a consumer actually reads them."""
+    from pyspark.sql import functions as F
+
+    out = arrays.select(
+        "conv_id", "turn_idx", "platform", "ts",
+        F.posexplode("norm_labels").alias("pos", "norm_label"),
+    )
+    return out.select(
+        "conv_id", "turn_idx", "platform", "ts",
+        F.col("norm_label").alias("mention"),
+        "norm_label",
+        F.concat_ws("|", "conv_id", "turn_idx", "pos").alias("mention_id"),
+        F.col("pos").cast("int").alias("pos"),
+    )
+
+
+def extract_mentions_sql(turns: DataFrame, with_offsets: bool = False) -> DataFrame:
+    """Pure-JVM extraction: ONE trie-regex scan marks phrase hits
+    (r7 — was regexp_extract_all + regexp_replace, two trie scans;
+    scripts/r7_extract_variants.py measured the two-scan form 1.26x
+    slower with identical output), marker-pattern scans recover the
+    phrase list and residual tokens, higher-order array ops do
+    normalize/L1-filter/first-occurrence-dedup/cap — all per-row, zero
+    shuffle, no Python workers. Emits mention = normalized label (the
+    pandas form keeps the raw surface; nothing downstream reads it).
+
+    with_offsets=True additionally carries each kept mention's 1-based
+    char offset in the lowered truncated text (see
+    _extract_mentions_sql_offsets; that path keeps the two-scan head —
+    its locate() folds need the space-replaced residual coordinates).
+    The default path is value-identical to the offset-free round-5
+    output: ER never consumes offsets, and carrying a dead column
+    through the mention shuffle at 10^12 turns is pure cost — triple
+    construction opts in.
+    """
+    if with_offsets:
+        return _extract_mentions_sql_offsets(turns)
+    from pyspark.sql import functions as F
+
+    t, deduped = _marked_head(turns)
     out = t.select(
         "conv_id", "turn_idx", "platform", "ts",
         F.posexplode(deduped).alias("pos", "norm_label"),

@@ -29,7 +29,9 @@ from session_graph_spark.functions.normalize import apply_aliases, slug
 from session_graph_spark.functions.similarity import MATCH_THRESHOLD
 from session_graph_spark.operators.blocking import block_metrics, candidate_pairs
 from session_graph_spark.operators.cc import assign_clusters
-from session_graph_spark.operators.extract import extract_mentions
+from session_graph_spark.operators.extract import (explode_mention_arrays,
+                                                   extract_mention_arrays,
+                                                   extract_mentions)
 from session_graph_spark.operators.scoring import match_edges, score_distribution, score_pairs
 from session_graph_spark.plans.checkpoint import StageStore, filter_unprocessed
 
@@ -50,6 +52,10 @@ class ResolutionResult:
     clusters: DataFrame        # (label, cluster_id)
     mention_clusters: DataFrame  # mentions + cluster_id
     metrics: dict = field(default_factory=dict)
+    # internal cache handles the fast path holds beyond the named stages
+    # (r7: the per-turn mention-array cache that `mentions` is a lazy
+    # explode of) — released by unpersist() alongside the named stages
+    extra_caches: list = field(default_factory=list, repr=False)
 
     def unpersist(self, blocking: bool = False) -> None:
         """Release the fast path's cached stages. A long-lived service
@@ -57,7 +63,8 @@ class ResolutionResult:
         otherwise accumulate one set of cached mentions/labels/scores
         per batch in the executor block manager — call this once every
         consumer has severed lineage (collect/localCheckpoint/write)."""
-        for df in (self.mentions, self.labels, self.pairs_scored, self.clusters):
+        for df in (self.mentions, self.labels, self.pairs_scored,
+                   self.clusters, *self.extra_caches):
             try:
                 df.unpersist(blocking)
             except Exception:  # noqa: BLE001 - checkpointed stages aren't cached
@@ -104,6 +111,23 @@ def mentions_from_turns(turns: DataFrame, dedup_turns: bool = False,
     if dedup_turns:
         base = base.dropDuplicates(["conv_id", "turn_idx"])
     return extract_mentions(base, with_offsets=with_offsets)
+
+
+def mention_arrays_from_turns(turns: DataFrame,
+                              dedup_turns: bool = False) -> DataFrame:
+    """Same input filters as mentions_from_turns, but stopping at the
+    per-turn mention-label ARRAY (extract.extract_mention_arrays) — the
+    form resolve()'s fast path caches (r7): one row per turn instead of
+    one per mention, no per-mention conv_id/mention_id duplication in
+    the cache bytes. `explode_mention_arrays` on this output is
+    expression-identical to mentions_from_turns."""
+    base = turns.where(Flt.assistant_only() & Flt.min_length_filter())
+    if "platform" not in base.columns:
+        base = base.withColumn("platform", F.lit("unknown"))
+    base = base.select("conv_id", "turn_idx", "platform", "ts", "text")
+    if dedup_turns:
+        base = base.dropDuplicates(["conv_id", "turn_idx"])
+    return extract_mention_arrays(base)
 
 
 def normalized_labels(
@@ -366,6 +390,7 @@ def resolve(
     if max_parallelism:
         turns = turns.coalesce(max_parallelism)
 
+    extra_caches: list[DataFrame] = []
     if checkpoint_dir is None:
         # fast path: no parquet checkpoints, but each multi-consumer
         # DataFrame is cached AND materialized before the plans that scan
@@ -375,8 +400,18 @@ def resolve(
         ctx_holder: list[DataFrame] = []
         own_caches: list[DataFrame] = []
         try:
-            mentions = mentions_from_turns(turns).cache()
-            own_caches.append(mentions)
+            # r7: cache the PRE-EXPLODE per-turn arrays (~10x fewer rows,
+            # no per-mention conv_id/mention_id duplication) and expose
+            # `mentions` as a lazy explode of the cache — the r7 probe
+            # (scripts/r7_extract_probe.py) priced cache POPULATION at
+            # ~19s of the 57.9s mentions stage at sf1.0/local[32] while
+            # cache READS are sub-second, so shrinking the written form
+            # is the lever; every consumer (labels, ctx, mention_clusters)
+            # scans the array cache and explodes in-stage
+            m_arrays = mention_arrays_from_turns(turns).cache()
+            own_caches.append(m_arrays)
+            extra_caches.append(m_arrays)
+            mentions = explode_mention_arrays(m_arrays)
             store.manifest["mentions"] = {"rows": mentions.count()}
             labels = normalized_labels(mentions, aliases, min_sessions).cache()
             own_caches.append(labels)
@@ -478,10 +513,37 @@ def resolve(
             lambda: assign_clusters(labels, edges, label_col="canon_label"),
         )
 
+    # r7: ONE broadcast probe instead of two. The former shape —
+    # apply_aliases (broadcast left join on the alias dim) then an inner
+    # join against clusters — ran every mention row through two
+    # broadcast hash probes (~10s of the 11s mention_clusters action at
+    # sf1.0/local[32], r7 probe: the bare cache scan is 0.9s). Both dims
+    # are tiny, so precompute the preimage of `clusters` under aliasing
+    # as ONE dimension keyed by raw norm_label: surfaces that
+    # canonicalize into a clustered label, plus clustered labels that
+    # are not themselves remapped surfaces (a remapped surface can never
+    # canonicalize to itself). Inner-join semantics are preserved
+    # exactly: a mention row survives iff its canonical label is in
+    # clusters, with the same canon_label/cluster_id values.
+    cl = clusters.select(F.col("label").alias("canon_label"), "cluster_id")
+    dim_alias = (
+        aliases.select(F.col("surface").alias("norm_label"),
+                       F.col("canonical").alias("canon_label"))
+        .join(cl, "canon_label")
+        .select("norm_label", "canon_label", "cluster_id")
+    )
+    dim_direct = (
+        cl.withColumn("norm_label", F.col("canon_label"))
+        .join(aliases.select(F.col("surface").alias("norm_label")),
+              "norm_label", "left_anti")
+        .select("norm_label", "canon_label", "cluster_id")
+    )
     mention_clusters = (
-        apply_aliases(mentions, aliases, label_col="norm_label", out_col="canon_label")
-        .join(clusters, F.col("canon_label") == F.col("label"), "inner")
-        .drop("label")
+        mentions.join(F.broadcast(dim_alias.unionByName(dim_direct)),
+                      "norm_label")
+        .select("conv_id", "turn_idx", "platform", "ts", "mention",
+                "norm_label", "mention_id", "pos", "canon_label",
+                "cluster_id")
     )
 
     metrics: dict = dict(store.manifest)
@@ -495,4 +557,5 @@ def resolve(
     return ResolutionResult(
         mentions=mentions, labels=labels, pairs_scored=scored, edges=edges,
         clusters=clusters, mention_clusters=mention_clusters, metrics=metrics,
+        extra_caches=extra_caches,
     )
