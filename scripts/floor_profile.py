@@ -74,12 +74,16 @@ def main() -> None:
     t = prepare_turns(spark.read.parquet(path))
     # r7: mirror resolve()'s fast path — cache the per-turn arrays,
     # mentions is a lazy explode of the cache
+    from pyspark.sql import functions as F
+
     from session_graph_spark.operators.extract import explode_mention_arrays
     from session_graph_spark.plans.pipeline import mention_arrays_from_turns
     m_arrays = mention_arrays_from_turns(t).cache()
     mentions = explode_mention_arrays(m_arrays)
-    timed("mentions_count", mentions.count)
-    labels = normalized_labels(mentions, aliases).cache()
+    timed("mentions_count",
+          lambda: m_arrays.agg(F.sum(F.size("norm_labels"))).collect())
+    from session_graph_spark.plans.pipeline import normalized_labels_from_arrays
+    labels = normalized_labels_from_arrays(m_arrays, aliases).cache()
     timed("labels_count", labels.count)
     pairs = candidate_pairs(labels, label_col="canon_label",
                             block_col="block_key")

@@ -157,10 +157,14 @@ def normalized_labels(
         .agg(F.countDistinct("conv_id").alias("n_sessions"))
         .where(F.col("n_sessions") >= min_sessions)
     )
-    # the canonical whitelist is a broadcast semi-join flag, not a
-    # driver-side collect: no action runs inside resolve()'s plan
-    # construction, and the whitelist stays a dim-table concern at any
-    # alias-dictionary size
+    return _labels_tail(counts, aliases)
+
+
+def _labels_tail(counts: DataFrame, aliases: DataFrame) -> DataFrame:
+    """Shared post-count tail: canonical whitelist + L2 linkability +
+    block key. The whitelist is a broadcast semi-join flag, not a
+    driver-side collect, so it stays a dim-table concern at any
+    alias-dictionary size."""
     canon_dim = F.broadcast(
         aliases.select(F.col("canonical").alias("canon_label")).distinct()
         .withColumn("__is_canon", F.lit(True))
@@ -172,6 +176,64 @@ def normalized_labels(
         .drop("__is_canon")
     )
     return counts.withColumn("block_key", slug("canon_label"))
+
+
+# above this alias-dimension size the labels array path falls back to
+# the classic join form: the in-array lookup is a literal map expression
+# whose planning cost grows with the dictionary, while the dictionary is
+# driver-sized by design (N4)
+_ALIAS_MAP_LITERAL_MAX = 10_000
+
+
+def normalized_labels_from_arrays(
+    m_arrays: DataFrame, aliases: DataFrame, min_sessions: int = MIN_SESSIONS
+) -> DataFrame:
+    """normalized_labels computed from the per-turn mention-label ARRAYS
+    (the fast path's cached form) — value-identical to
+    `normalized_labels(explode_mention_arrays(m_arrays), aliases)`
+    (pinned by tests/test_r7_pipeline_equiv.py), restructured for scale:
+
+    - aggregate the arrays by conv_id FIRST (collect_list of per-turn
+      arrays: one append per turn row, ~10x fewer partial-aggregate
+      inputs than mention rows, and partial lists merge correctly across
+      partition boundaries — no layout assumption);
+    - per conv, flatten + in-array dedup + in-array alias lookup +
+      re-dedup: each conv contributes each CANONICAL label at most once;
+    - therefore count(*) per label == countDistinct(conv_id), turning
+      the exact two-phase distinct aggregate (an exchange keyed
+      (canon_label, conv_id) over every distinct pair) into a plain
+      count whose partial aggregate is label-cardinality-sized.
+
+    The former shape ran every mention row (112M at sf1.0) through the
+    alias broadcast probe and a (canon, conv)-keyed hash dedup — the r7
+    probe priced that stage at 21.0s vs 13.0s for this form
+    (scripts/r7_labels_variants.py, interleaved best-of-3, identical
+    output fingerprints). The alias lookup happens on per-conv DISTINCT
+    labels via a literal-map expression; the dictionary is collected
+    once (driver-sized dim by design, same as _mention_context's use)
+    and oversized dictionaries fall back to the classic join form."""
+    alias_pairs = [
+        (r["surface"], r["canonical"])
+        for r in aliases.select("surface", "canonical").collect()
+    ]
+    if len(alias_pairs) > _ALIAS_MAP_LITERAL_MAX:
+        return normalized_labels(explode_mention_arrays(m_arrays), aliases,
+                                 min_sessions)
+    per_conv = m_arrays.groupBy("conv_id").agg(
+        F.flatten(F.collect_list("norm_labels")).alias("ls"))
+    if alias_pairs:
+        amap = F.create_map(*[F.lit(x) for pair in alias_pairs for x in pair])
+        canon_set = F.array_distinct(F.transform(
+            F.array_distinct("ls"),
+            lambda x: F.coalesce(F.element_at(amap, x), x)))
+    else:  # empty dictionary: canonical == raw
+        canon_set = F.array_distinct(F.col("ls"))
+    counts = (
+        per_conv.select(F.explode(canon_set).alias("canon_label"))
+        .groupBy("canon_label").agg(F.count("*").alias("n_sessions"))
+        .where(F.col("n_sessions") >= min_sessions)
+    )
+    return _labels_tail(counts, aliases)
 
 
 def _mention_context(mentions: DataFrame, aliases: DataFrame,
@@ -412,8 +474,14 @@ def resolve(
             own_caches.append(m_arrays)
             extra_caches.append(m_arrays)
             mentions = explode_mention_arrays(m_arrays)
-            store.manifest["mentions"] = {"rows": mentions.count()}
-            labels = normalized_labels(mentions, aliases, min_sessions).cache()
+            # materialize the cache + record the mention row count in ONE
+            # action WITHOUT generating the exploded rows: the mention
+            # count is the sum of per-turn array sizes by construction
+            n_mentions = m_arrays.agg(
+                F.sum(F.size("norm_labels"))).collect()[0][0]
+            store.manifest["mentions"] = {"rows": int(n_mentions or 0)}
+            labels = normalized_labels_from_arrays(
+                m_arrays, aliases, min_sessions).cache()
             own_caches.append(labels)
             store.manifest["labels"] = {"rows": labels.count()}
             pairs = candidate_pairs(labels, label_col="canon_label",

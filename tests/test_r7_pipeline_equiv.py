@@ -18,6 +18,7 @@ from session_graph_spark.functions.normalize import apply_aliases
 from session_graph_spark.plans.pipeline import (alias_df,
                                                 mention_arrays_from_turns,
                                                 mentions_from_turns,
+                                                normalized_labels,
                                                 prepare_turns, resolve)
 from session_graph_spark.operators.extract import explode_mention_arrays
 
@@ -37,6 +38,30 @@ def test_array_cache_explode_equals_direct_mentions(spark, turns):
     via_arrays = explode_mention_arrays(mention_arrays_from_turns(t))
     assert via_arrays.columns == direct.columns
     assert _rows(via_arrays) == _rows(direct)
+
+
+def test_labels_from_arrays_equals_classic(spark, turns):
+    from session_graph_spark.plans.pipeline import normalized_labels_from_arrays
+
+    t = prepare_turns(turns)
+    aliases = alias_df(spark)
+    classic = normalized_labels(mentions_from_turns(t), aliases)
+    via_arrays = normalized_labels_from_arrays(
+        mention_arrays_from_turns(t), aliases)
+    assert via_arrays.columns == classic.columns
+    assert _rows(via_arrays) == _rows(classic)
+
+
+def test_labels_from_arrays_custom_and_empty_alias_dim(spark, turns):
+    from session_graph_spark.plans.pipeline import normalized_labels_from_arrays
+
+    t = prepare_turns(turns)
+    for rows in ([("k8s", "kubernetes"), ("js", "javascript")], []):
+        aliases = spark.createDataFrame(rows, "surface string, canonical string")
+        classic = normalized_labels(mentions_from_turns(t), aliases)
+        via_arrays = normalized_labels_from_arrays(
+            mention_arrays_from_turns(t), aliases)
+        assert _rows(via_arrays) == _rows(classic)
 
 
 def test_mention_clusters_single_probe_equals_two_join(spark, turns):
