@@ -118,17 +118,49 @@ _TRIPLES_SQL = """
 # queries
 # ---------------------------------------------------------------------------
 def q_hub_entities(spark, sf):
-    """A5 / SPARQL template 10: top-20 tokens by distinct-doc degree."""
+    """A5 / SPARQL template 10: top-20 tokens by distinct-doc degree.
+
+    r7 plan: doc_id is unique per document row, so deduping tokens
+    IN-ARRAY per doc and counting rows is exactly countDistinct(doc_id)
+    — one plain-count exchange with map-side partials instead of the
+    distinct aggregate's two exchanges over (token, doc_id) (guide
+    §2.3 aggregate-before-shuffle; A/B at sf0.1: 0.59s -> 0.42s
+    best-of-3, scripts/r7_query_variants.py; value parity
+    oracle-checked)."""
+    d = _docs(spark, sf).select(
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split("text", " "), lambda t: F.length(t) >= 3)
+            )
+        ).alias("token")
+    )
     return (
-        _tokens(spark, sf).groupBy("token")
-        .agg(F.countDistinct("doc_id").alias("degree"))
+        d.groupBy("token")
+        .agg(F.count("*").alias("degree"))
         .orderBy(F.desc("degree"), F.asc("token")).limit(20)
     )
 
 
 def q_cooccurrence(spark, sf):
-    """A6 / Q8: token pairs co-occurring in the same document, top-20."""
-    t = _tokens(spark, sf).select("doc_id", "token").distinct()
+    """A6 / Q8: token pairs co-occurring in the same document, top-20.
+
+    r7 plan: per-doc tokens are deduped IN-ARRAY at the scan (exactly
+    the distinct (doc_id, token) set, since doc_id is unique per row),
+    which removes the standalone distinct aggregate's exchange over
+    (doc_id, token); the self-join then reuses one exchange for both
+    sides (identical subplans). A/B at sf0.1: 1.04s -> 0.74s best-of-3
+    (scripts/r7_query_variants2.py, arm cooc_mid; a full in-array
+    pair-generation variant with zero join was also measured and LOST
+    at 1.39s — the nested-array struct allocation costs more than the
+    join it saves). Value parity oracle-checked."""
+    t = _docs(spark, sf).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split("text", " "), lambda x: F.length(x) >= 3)
+            )
+        ).alias("token"),
+    )
     a = t.select("doc_id", F.col("token").alias("token_a"))
     b = t.select("doc_id", F.col("token").alias("token_b"))
     return (
@@ -187,14 +219,23 @@ def q_text_features(spark, sf):
     ratio). Consolidates the former token_count / fingerprint / lang_id /
     quality_features / quality_score driver rows (round-4 registry
     diet)."""
-    from session_graph_spark.functions.text import lang_id, quality_features
+    from session_graph_spark.functions.text import lang_id_col, quality_features
 
+    # r7: lang_id moves from the Arrow-batched pandas UDF to the
+    # decision-identical pure-Column form — the plan's one
+    # ArrowEvalPython node disappears (guide §4.1) and the A/B read
+    # 1.33s -> 1.22s best-of-3 at sf0.1 (scripts/r7_query_variants2.py,
+    # arm tf_oldlangcol). A single-scan zero-shuffle projection variant
+    # (per-token stats as in-array folds) was also measured and LOST
+    # (1.51s) — the explode+aggregate form vectorizes better here — so
+    # the three-branch join shape deliberately stays (guide §1.1:
+    # empirics over the first-principles ideal).
     d = _docs(spark, sf)
     base = d.select(
         "doc_id",
         F.size(F.split("text", " ")).alias("n_tokens"),
         F.md5(F.substring("text", 1, 64)).alias("fp"),
-        lang_id(F.col("text")).alias("lang_pred"),
+        lang_id_col(F.col("text")).alias("lang_pred"),
     )
     qf = quality_features(d).select(
         "doc_id", "n_tokens_q", "punct_ratio", "stopword_ratio_en", "quality_score"

@@ -97,6 +97,39 @@ def lang_id(texts: pd.Series) -> pd.Series:  # pragma: no cover
     return _lang_id_batch(texts)
 
 
+def lang_id_col(c: str | Column = "text") -> Column:
+    """Pure-Column mirror of `lang_id` (decision-identical; pinned by
+    tests). Keeps language ID inside whole-stage codegen — the pandas
+    form pays the JVM->Arrow->Python boundary for ten set-membership
+    probes per row (guide §4.1: prefer built-ins when they exist).
+
+    Exact argmax semantics of _lang_id_batch: profiles are probed in
+    dict insertion order and a later language must STRICTLY beat the
+    best so far, so ties keep the earlier language — encoded here by
+    ranking profiles in reverse insertion order and taking greatest()
+    over (hits, rank) structs; hits == 0 -> 'und'. array_intersect
+    dedups, so size() == |token set ∩ profile| exactly like the pandas
+    set intersection; pandas str.split() drops empty strings while
+    split(text, '\\s+') can keep a leading '' — no profile contains ''
+    so intersect sizes agree."""
+    c = F.col(c) if isinstance(c, str) else c
+    toks = F.split(F.lower(c), r"\s+")
+    n = len(_LANG_PROFILES)
+    cands = [
+        F.struct(
+            F.coalesce(
+                F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in sorted(prof)]))),
+                F.lit(0),
+            ).alias("hits"),
+            F.lit(n - i).alias("rank"),
+            F.lit(lang).alias("lang"),
+        )
+        for i, (lang, prof) in enumerate(_LANG_PROFILES.items())
+    ]
+    best = F.greatest(*cands)
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
 def fingerprint(col: str | Column = "text", prefix_chars: int = 256) -> Column:
     """Deterministic document fingerprint: md5 of the whitespace-normalized
     lowercase prefix (rolling-hash analog, JVM-side)."""

@@ -693,20 +693,38 @@ def link_to_kb(
     cand = cand.withColumn("ctx_score", agree + F.least(overlap, F.lit(3)))
 
     # best match per label: highest confidence, then strongest context
-    # evidence, then lowest kb_id
-    w = Window.partitionBy("label").orderBy(
-        F.desc("confidence"), F.desc("ctx_score"), F.asc_nulls_last("kb_id")
-    )
+    # evidence, then lowest kb_id. r7: a min_by aggregate over an
+    # ordering struct instead of the former row_number window — the
+    # window shuffled every candidate row then sorted it; min_by
+    # reduces map-side inside one exchange (guide §2.3/§2.4; A/B at
+    # sf0.1 measured the two within noise — 1.01s vs 1.02s — the
+    # aggregate form is kept for its map-side partial reduction, which
+    # is what survives when candidate rows outgrow one task). The
+    # ordering is the same total preference: ascending (-confidence,
+    # -ctx_score, kb_id) == (desc confidence, desc ctx_score, asc
+    # kb_id); kb_id is the KB primary key, so an exact ordering tie
+    # implies the same candidate row and the winner is unique
+    # (asc_nulls_last matched only the no-candidate case, where the
+    # label has exactly one row and ordering is moot).
     best = (
-        cand.withColumn("__rk", F.row_number().over(w))
-        .where(F.col("__rk") == 1)
+        cand.groupBy("label")
+        .agg(
+            F.min_by(
+                F.struct("kb_id", "kb_label", "description", "confidence"),
+                F.struct(
+                    (-F.col("confidence")).alias("nc"),
+                    (-F.col("ctx_score")).alias("ns"),
+                    F.col("kb_id").alias("kb_id"),
+                ),
+            ).alias("__b")
+        )
         .select(
             "label",
-            F.when(F.col("confidence") >= threshold, F.col("kb_id")).alias("kb_id"),
-            F.when(F.col("confidence") >= threshold, F.col("kb_label")).alias("kb_label"),
-            F.when(F.col("confidence") >= threshold, F.col("description")).alias("description"),
-            "confidence",
-            (F.col("confidence") >= threshold).alias("linked"),
+            F.when(F.col("__b.confidence") >= threshold, F.col("__b.kb_id")).alias("kb_id"),
+            F.when(F.col("__b.confidence") >= threshold, F.col("__b.kb_label")).alias("kb_label"),
+            F.when(F.col("__b.confidence") >= threshold, F.col("__b.description")).alias("description"),
+            F.col("__b.confidence").alias("confidence"),
+            (F.col("__b.confidence") >= threshold).alias("linked"),
         )
     )
     if cached is not None:

@@ -143,6 +143,41 @@ def test_text_functions(spark):
     assert by_id[1]["quality_score"] > by_id[4]["quality_score"]
 
 
+def test_lang_id_col_matches_pandas_kernel(spark):
+    """r7: q_text_features swapped the Arrow-batched lang_id UDF for the
+    pure-Column lang_id_col — pin decision equality on the shapes that
+    exercise every branch: per-language hits, the strict-greater
+    tie-break (earlier profile wins on equal hits), 'und' on no hits,
+    empty/whitespace/NULL text, mixed case, and repeated profile words
+    (set semantics: duplicates count once)."""
+    from session_graph_spark.functions.text import _lang_id_batch, lang_id_col
+
+    texts = [
+        "the quick brown fox is in the barn with it",
+        "el perro y la casa de los gatos en madrid",
+        "der hund und die katze ist nicht ein vogel",
+        "le chat est dans les rues de paris et lyon",
+        "o gato e a casa do rio em um dia",
+        "zzz qqq www",                      # no profile hits -> und
+        "",                                 # empty -> und
+        "   ",                              # whitespace only -> und
+        None,                               # null -> und
+        "THE AND Of to IN",                 # case folding
+        "the the the the el el el el",      # dups count once; tie en-vs-es? (1 vs 1 -> en)
+        "el la de the",                     # es 3 hits beats en 1
+        "the of el la",                     # exact 2-2 tie -> earlier profile (en)
+        "que de la",                        # words shared by es AND fr profiles
+    ]
+    import pandas as pd
+
+    expected = _lang_id_batch(pd.Series(texts)).tolist()
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               ["id", "text"])
+    got = [r["l"] for r in df.select("id", lang_id_col("text").alias("l"))
+           .orderBy("id").collect()]
+    assert got == expected
+
+
 def test_multimodal_plumbing(spark):
     from session_graph_spark.operators.multimodal import (dedupe_assets,
                                                           extract_features,
