@@ -77,6 +77,18 @@ def main() -> None:
               "sessionization", "ann_topk", "pricing_summary"]:
         dump(q, E.queries()[q](spark, sf))
 
+    # kb_link stage as the bench times it (distinct doc labels vs the
+    # curated KB). The _before capture for this one was produced from
+    # the round-6 window form inlined in scripts/r7_query_variants2.py
+    # (kb_win), since the plan dump script gained this entry mid-round.
+    from session_graph_spark.operators.linking import kb_df, link_to_kb
+    doc_labels = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select(F.explode(F.split("text", " ")).alias("label"))
+        .where(F.length("label") >= 3).distinct()
+    )
+    dump("kb_link", link_to_kb(doc_labels, kb_df(spark)))
+
     print(f"wrote plans to {outdir} (tag={tag})")
     spark.stop()
 

@@ -169,6 +169,36 @@ def is_linkable_entity_pd(s: pd.Series) -> pd.Series:
 
 
 # ---- JVM column-expression variant of L1 -----------------------------------
+# r7: the full-path rule chain is fused into two regex invocations — one
+# anchored union of the 15 prefix rules and one search union of the
+# contains-class rules (css_dim + the %, backslash, bracket and paren
+# character probes). The union of matches is the OR of the individual
+# matches, so the decision is unchanged (the SQL≡pandas equivalence
+# tests pin it); what changes is ~19 Java regex invocations per
+# non-plain candidate becoming 2 (guide §1.2 per-task work — measured
+# in scripts/r7_extract_variants2.py).
+_L1_PREFIX_KEYS = (
+    "filename", "icd_short", "icd_underscore", "proto_code", "snake3",
+    "num_prefix", "version", "px", "pure_num", "ip", "duration",
+    "hexhash", "quantity", "ordinal", "fraction",
+)
+
+
+def _java_union_prefix(keys: tuple[str, ...]) -> str:
+    parts = [
+        ("(?i:" if _L1[k].flags & re.I else "(?:") + _L1[k].pattern + ")"
+        for k in keys
+    ]
+    return r"\A(?:" + "|".join(parts) + ")"
+
+
+_L1_PREFIX_UNION = _java_union_prefix(_L1_PREFIX_KEYS)
+# search union: any of  % \ [ ] ( )  anywhere, or a css dimension. The
+# css_dim %-alternative is already implied by the bare %-probe, but it
+# is kept verbatim so each branch mirrors one original rule exactly.
+_L1_SEARCH_UNION = r"[\[\]()%\\]|(?i:" + _L1["css_dim"].pattern + ")"
+
+
 def is_valid_entity_col(c: Column) -> Column:
     """Pure-Column L1 validity filter — same decision as
     `is_valid_entity_pd` (equivalence-tested), usable inside higher-order
@@ -178,19 +208,14 @@ def is_valid_entity_col(c: Column) -> Column:
     white = c.isin(*sorted(WHITELIST))
     first = F.substring(c, 1, 1)
     rej_full = first.isin(*_SPECIAL_FIRST)
-    rej_full = rej_full | c.startswith("/") | c.contains("\\")
-    for key in (
-        "filename", "icd_short", "icd_underscore", "proto_code", "snake3",
-        "num_prefix", "version", "px", "pure_num", "ip", "duration",
-        "hexhash", "quantity", "ordinal", "fraction",
-    ):
-        # .match anchors at the start; Java rlike is search -> anchor with \A
-        rej_full = rej_full | c.rlike(_to_java_prefix(_L1[key]))
-    rej_full = rej_full | c.rlike(_to_java_search(_L1["css_dim"]))
-    rej_full = rej_full | c.contains("%")
-    rej_full = rej_full | c.rlike(r"[\[\]]") | c.rlike(r"[()]")
+    rej_full = rej_full | c.startswith("/")
+    rej_full = rej_full | c.rlike(_L1_SEARCH_UNION)
+    rej_full = rej_full | c.rlike(_L1_PREFIX_UNION)
     rej_full = rej_full | (n == 2)
-    rej_full = rej_full | (F.size(F.split(c, " ")) > 3)
+    # > 3 single-space-separated segments == > 2 literal spaces
+    rej_full = rej_full | (
+        (n - F.length(F.replace(c, F.lit(" "), F.lit("")))) > 2
+    )
     # plain-alpha fast path (same as the pandas kernel): a ^[a-z]+$ token
     # can only trip the hexhash or 2-char rules; CASE WHEN makes codegen
     # evaluate only the taken branch, skipping the ~20 rlikes above.

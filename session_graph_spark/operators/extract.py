@@ -265,14 +265,25 @@ def _marked_head(turns: DataFrame):
     )
     toks = F.filter(F.split("resid", _MARKER_OR_WS), lambda x: x != "")
     cands = F.concat("ph", toks)
-    n_ph = F.size("ph")
 
     def norm(x):
         # normalize_entity minus trim + ws-collapse, no-ops here: split
         # tokens carry no whitespace and phrase hits are literal
-        # single-spaced gazetteer strings (invariant enforced at import)
-        return F.regexp_replace(x, r"[.,;:]+$", "")
+        # single-spaced gazetteer strings (invariant enforced at import).
+        # r7: rtrim with a trim charset — TRIM(TRAILING '.,;:') strips
+        # exactly the suffix the former regexp_replace(r'[.,;:]+$')
+        # matched, without a per-candidate Java regex invocation
+        # (guide §1.2; A/B in scripts/r7_extract_variants2.py).
+        return F.rtrim(x, F.lit(".,;:"))
 
+    # r7 note: a dedup-BEFORE-validity variant (L1 once per distinct
+    # candidate) was A/B'd and measured WORSE at both sf0.1 and sf1.0
+    # (scripts/r7_extract_variants2.py, arm dedup_only) — the extra
+    # array_distinct over all candidates plus the separate phrase-norm
+    # pass cost more than the skipped validity evaluations, because
+    # most candidates are already distinct within a turn. The
+    # filter-then-distinct order stays.
+    n_ph = F.size("ph")
     normed = F.transform(cands, norm)
     kept = F.filter(
         normed,
