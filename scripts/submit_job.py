@@ -24,6 +24,11 @@ def main() -> None:
                     help="output dir: <out>/clusters, <out>/mention_clusters")
     ap.add_argument("--min-sessions", type=int, default=None,
                     help="frequency-prune threshold (default: pipeline's)")
+    ap.add_argument("--bench-counts", action="store_true",
+                    help="run the bench headline's exact actions "
+                         "(clusters.count + mention_clusters.count, no "
+                         "writes) and print headline_sec — the submit-mode "
+                         "comparable of bench.py's er_pipeline row")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -35,6 +40,17 @@ def main() -> None:
     kw = {}
     if args.min_sessions is not None:
         kw["min_sessions"] = args.min_sessions
+    if args.bench_counts:
+        import time
+
+        t0 = time.time()
+        res = resolve(spark, spark.read.parquet(args.turns), **kw)
+        res.clusters.count()
+        n_mc = res.mention_clusters.count()
+        print(json.dumps({"headline_sec": round(time.time() - t0, 3),
+                          "n_mention_clusters": n_mc}))
+        spark.stop()
+        return
     res = resolve(spark, spark.read.parquet(args.turns), **kw)
     res.clusters.write.mode("overwrite").parquet(f"{args.out}/clusters")
     res.mention_clusters.write.mode("overwrite").parquet(
