@@ -154,6 +154,19 @@ def _validate_snapshot() -> None:
     labels = [l for _, l, _, _ in REMOTE_ENTITIES]
     if len(set(labels)) != len(labels):
         raise ValueError("remote entity labels must be unique (sameAs is exact)")
+    # the oracle inlines labels/descriptions/class labels into SQL VALUES
+    # literals (_fed_dim_sql); a quote or backslash in a future snapshot
+    # edit would break the DuckDB oracle with a parse error at gate time
+    # (ADVICE r6) — reject loudly at import instead
+    texts = ([l for _, l, _, _ in REMOTE_ENTITIES]
+             + [d for _, _, d, _ in REMOTE_ENTITIES]
+             + [cl for _, cl, _ in REMOTE_CLASSES]
+             + [pl for _, pl in PROP_LABELS])
+    for t in texts:
+        if "'" in t or "\\" in t:
+            raise ValueError(
+                f"snapshot text {t!r} contains a quote/backslash; "
+                "_fed_dim_sql inlines these as SQL string literals")
     for q, _, _, c in REMOTE_ENTITIES:
         if c not in cls:
             raise ValueError(f"entity {q} has unknown class {c}")
@@ -188,10 +201,16 @@ def class_closure() -> list[tuple[str, str, int]]:
 def generate_remote_rows(n: int, seed: int = 11) -> tuple[
         list[tuple[str, str, str, str]], list[tuple[str, str, str]]]:
     """Extend the snapshot with n deterministic entities + ~0.6n claims
-    (scale-path evidence: the dimension stays broadcast-shaped at 10-100k
-    rows exactly like kbgen's gazetteer). Labels reuse kbgen's fused
-    namespace prefixed 'rmt ' so they never collide with local tokens or
-    the curated snapshot."""
+    (scale-path evidence: the dimension stays broadcast-shaped at 10-39k
+    rows — the fused-name space caps there — exactly like kbgen's
+    gazetteer). Labels reuse kbgen's fused namespace prefixed 'rmt ' so
+    they never collide with local tokens or the curated snapshot.
+
+    SCALE-TEST ONLY (ADVICE r6): generated entities are assigned to the
+    curated REMOTE_CLASSES cyclically, so extra_n > 0 changes curated
+    labels' W2 peer sets and W5 bridges — the extension must never feed
+    the oracle-checked kb_federation row (it is consumed only by
+    superset tests and bench_extra's fed_ext row)."""
     import random
 
     from session_graph_spark.kbgen import _fused

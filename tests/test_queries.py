@@ -211,3 +211,33 @@ def test_topic_search(ctx):
     assert {r["conv_id"] for r in rows} == want
     created = [r["created"] for r in rows]
     assert created == sorted(created)
+
+
+def test_registry_first_50_pinned():
+    """The driver's correctness gate reads the registry's FIRST 50
+    entries (CORRECTNESS rows == positions 1-50; round-4/6 convention).
+    Pin that set and order so a future insertion cannot silently
+    displace an oracle-checked query past the window (ADVICE r6)."""
+    import __spark_entry__ as E
+
+    expected_first_50 = [
+        "er_clusters", "er_mentions", "er_labels", "er_edges_exact",
+        "pair_scores_cached", "session_overlap", "triple_hubs",
+        "er_incremental", "er_resume", "kb_pipeline", "kb_linking",
+        "kb_linking_ctx", "kb_linking_cached", "kb_federation",
+        "minhash_dedup_pairs", "minhash_dedup_groups", "simhash_dedup",
+        "ngram_bucket_dedup", "exact_dedup", "embedding_neardup",
+        "ann_topk", "ann_lsh_topk", "ann_ivf_topk", "text_features",
+        "lang_stats", "media_features", "hub_entities", "cooccurrence",
+        "cross_source_overlap", "min_sessions_filter", "platform_counts",
+        "predicate_search", "entity_to_entity", "path_discovery",
+        "sibling_entities", "topic_search", "turn_ordering", "prev_event",
+        "sessionization", "event_type_rollup", "pricing_summary",
+        "claude_jsonl_scan", "warp_sqlite_scan", "deepseek_zip_scan",
+        "grok_json_scan", "tool_events_scan", "message_parents_scan",
+        "turtle_roundtrip", "serving_table_sink", "streaming_state",
+    ]
+    names = list(E.queries())
+    assert names[:50] == expected_first_50
+    # every registry entry has an oracle (matched by name, not order)
+    assert set(E.oracle_sql()) == set(names)
