@@ -51,7 +51,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode runs every "executor" task inside this one JVM, so
+        # the driver heap holds ALL execution+storage memory (guide §5):
+        # at the 25M-turn bench corpus the 8g default sat on a spill/GC
+        # cliff — an interleaved A/B read 8g {164.8, 65.5, 61.0}s vs 16g
+        # {61.5, 60.8, 62.7}s for the sf1.0 headline (equal best, 2.7x
+        # worst-case blowup at 8g). On a real cluster the driver does no
+        # data work and deployers size executors; this default only
+        # governs local/sandbox sessions and stays env-overridable.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
