@@ -69,11 +69,19 @@ def get_spark(
 
 
 def bench_shuffle_partitions(cpus: int) -> int:
-    """The measured reduce-width knee for this host class (BENCH.md
-    microbench): above ~16 concurrent string-heavy shuffle tasks the
-    memory bus saturates, so benches run reduce stages at half width.
-    Shared by every measurement entry point so a re-tune lands once."""
-    return max(cpus if cpus <= 16 else cpus // 2, 8)
+    """Reduce width for the bench entry points, parameterised on the
+    advertised core count. Round 2 measured a memory-bus knee above ~16
+    concurrent string-heavy shuffle tasks and ran reduce stages at half
+    width; rounds 6-7 removed the wide string shuffles that knee came
+    from (mention-level dedup exchanges folded into conv-keyed array
+    aggregation), and the re-measured A/B now favors full width: the
+    one remaining large exchange (per-conv label arrays) reads 4.9s at
+    16 vs 3.9s at 32 reduce tasks, and the sf1.0 headline 41.6/39.2s at
+    16 vs 37.8/35.6s at 32 (interleaved pairs, scripts/r7_width_*).
+    AQE size-based coalescing still collapses small shuffles, so
+    sub-second queries are unaffected. Shared by every measurement
+    entry point so a re-tune lands once."""
+    return max(cpus, 8)
 
 
 def warm_udf_workers(spark: SparkSession, df, cpus: int) -> None:
