@@ -131,6 +131,15 @@ def score_pairs(pairs: DataFrame, decisions: DataFrame | None = None,
     first — the band query and the bonus join both scan them, and the
     checkpoint also guarantees the Arrow kernel runs exactly once."""
     if decisions is not None:
+        # the semi and anti branches below both consume `pairs`, whose
+        # plan (LSH bucket UDF + window + self-joins) is NOT cached by
+        # the caller — without a shared materialization the whole
+        # candidate-generation subtree executes once per branch. A lazy
+        # localCheckpoint dedups it: the first action materializes the
+        # pair partitions once and both branches read them (r7 A/B at
+        # the 25M-turn corpus: cached-arm count 0.87s -> 0.11s,
+        # fingerprints equal — scripts/r7_score_ab in BENCH notes).
+        pairs = pairs.localCheckpoint(eager=False)
         cached = decisions.join(pairs, PAIR_KEY, "left_semi")
         fresh = pairs.join(decisions, PAIR_KEY, "left_anti")
     else:
