@@ -64,6 +64,19 @@ def main() -> None:
     labels_plan = normalized_labels(mentions_plan, aliases)
     dump("er_labels_stage", labels_plan)
 
+    # the fast-path labels form resolve() actually runs (r7 pass 3: the
+    # alias-map probe is guarded by an InSet test — visible as
+    # `CASE WHEN x INSET (...) THEN element_at(map...) ELSE x` in the
+    # per-conv transform, replacing the bare linear element_at walk)
+    from session_graph_spark.operators.extract import extract_mention_arrays
+    from session_graph_spark.plans.pipeline import normalized_labels_from_arrays
+    dump("er_labels_arrays_stage",
+         normalized_labels_from_arrays(extract_mention_arrays(
+             turns.where((F.col("role") == "assistant")
+                         & (F.length(F.trim(F.col("text"))) >= 30))
+             .select("conv_id", "turn_idx", "platform", "ts", "text")),
+             aliases))
+
     # the end-to-end resolve (cached stages appear as InMemoryRelation)
     res = resolve(spark, turns)
     dump("er_mention_clusters", res.mention_clusters)
